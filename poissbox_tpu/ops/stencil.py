@@ -69,6 +69,37 @@ def apply_laplacian_pointwise(u: jax.Array, deltas: Sequence[float]) -> jax.Arra
     return out
 
 
+def make_laplacian_operator(grid, impl: str = "roll"):
+    """Build the matrix-free Laplacian LinearOperator for a Grid3D.
+
+    The assembled-P / matrix-free-A pair of the reference collapses to one
+    operator object exposing apply + diagonal + nullspace — what KSP and the
+    MG preconditioner actually consume (reference src/poissbox.f90:206-267).
+    `impl`: 'roll' (GSPMD shifted-adds), 'pointwise' (3x3x3 box contraction),
+    or 'pallas' (explicitly tiled kernel, ops.stencil_pallas).
+    """
+    from poissbox_tpu.linops import LinearOperator, make_nullspace_projector
+
+    deltas = grid.deltas
+    if impl == "roll":
+        apply = lambda u: apply_laplacian(u, deltas)
+    elif impl == "pointwise":
+        apply = lambda u: apply_laplacian_pointwise(u, deltas)
+    elif impl == "pallas":
+        from poissbox_tpu.ops.stencil_pallas import apply_laplacian_pallas
+        apply = lambda u: apply_laplacian_pallas(u, deltas)
+    else:
+        raise ValueError(f"unknown stencil impl {impl!r}")
+
+    diag_val = -2.0 * sum(1.0 / float(d) ** 2 for d in deltas)
+    return LinearOperator(
+        apply=apply,
+        diagonal=lambda: jnp.asarray(diag_val),
+        nullspace=make_nullspace_projector(),
+        symmetric=True,
+    )
+
+
 def laplacian_local(u_padded: jax.Array, deltas: Sequence[float]) -> jax.Array:
     """Apply the 7-point star to a halo-padded local block (width-1 halos).
 

@@ -1,0 +1,161 @@
+"""Restarted GMRES — PETSc's default KSP type.
+
+The reference inherits GMRES as the default solver when no `-ksp_type` flag
+is given (PETSc default; the reference recommends overriding with CG,
+reference README.md:42-47). Provided here for capability parity: left-
+preconditioned GMRES(m) with modified Gram–Schmidt and Givens rotations,
+fully jit-compatible (`lax.while_loop` over restart cycles, `lax.fori_loop`
+with convergence masking inside a cycle, static basis size).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from poissbox_tpu.linops import LinearOperator
+from poissbox_tpu.solvers.result import SolveResult, classify
+
+Array = jax.Array
+
+
+class _CycleState(NamedTuple):
+    V: Array        # (m+1, *field) Krylov basis
+    H: Array        # (m+1, m) Hessenberg
+    cs: Array       # (m,) Givens cosines
+    sn: Array       # (m,) Givens sines
+    g: Array        # (m+1,) rotated rhs
+    resnorm: Array  # current (preconditioned) residual estimate
+    jdone: Array    # number of Arnoldi steps actually taken
+    hist: Array
+    k: Array        # global iteration counter
+
+
+class _OuterState(NamedTuple):
+    x: Array
+    resnorm: Array
+    k: Array
+    hist: Array
+
+
+def gmres(
+    A: LinearOperator,
+    b: Array,
+    x0: Optional[Array] = None,
+    *,
+    M: Optional[Callable[[Array], Array]] = None,
+    rtol: float = 1.0e-5,
+    atol: float = 1.0e-50,
+    max_it: int = 1000,
+    restart: int = 30,
+) -> SolveResult:
+    """Solve A x = b by left-preconditioned restarted GMRES(restart).
+
+    Convergence is monitored on the preconditioned residual norm (PETSc's
+    left-preconditioning default). History records one entry per inner
+    iteration.
+    """
+    m = int(restart)
+    x = jnp.zeros_like(b) if x0 is None else x0
+    b = A.project(b)
+    x = A.project(x)
+    precond = M if M is not None else (lambda v: v)
+    fdims = tuple(range(1, b.ndim + 1))  # field dims inside the stacked basis
+
+    def pres(v: Array) -> Array:
+        return A.project(precond(v))
+
+    r0 = pres(b - A(x))
+    rnorm0 = jnp.sqrt(jnp.sum(r0 * r0))
+    hist = jnp.full((max_it + 1,), jnp.nan, dtype=b.dtype)
+    hist = hist.at[0].set(rnorm0)
+
+    atol_ = jnp.asarray(atol, b.dtype)
+    rtol_ = jnp.asarray(rtol, b.dtype)
+    tiny = jnp.asarray(jnp.finfo(b.dtype).tiny, b.dtype)
+
+    def target(rn0):
+        return jnp.maximum(rtol_ * rn0, atol_)
+
+    def arnoldi_step(j: Array, s: _CycleState) -> _CycleState:
+        active = (s.resnorm > target(rnorm0)) & (j == s.jdone)
+
+        w = pres(A(s.V[j]))
+        # Modified-Gram–Schmidt against the whole (zero-padded) basis: rows
+        # beyond j are zero so they contribute nothing.
+        h = jnp.tensordot(s.V, w, axes=(fdims, tuple(range(b.ndim))))
+        w = w - jnp.tensordot(h, s.V, axes=((0,), (0,)))
+        hnext = jnp.sqrt(jnp.sum(w * w))
+        vnext = w / jnp.maximum(hnext, tiny)
+
+        hcol = h.at[j + 1].set(hnext)
+        # apply accumulated Givens rotations to the new column
+        def rot(i, col):
+            hi = s.cs[i] * col[i] + s.sn[i] * col[i + 1]
+            hip = -s.sn[i] * col[i] + s.cs[i] * col[i + 1]
+            return lax.cond(i < j, lambda c: c.at[i].set(hi).at[i + 1].set(hip),
+                            lambda c: c, col)
+        hcol = lax.fori_loop(0, m, rot, hcol)
+
+        denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
+        csj = hcol[j] / jnp.maximum(denom, tiny)
+        snj = hcol[j + 1] / jnp.maximum(denom, tiny)
+        hcol = hcol.at[j].set(csj * hcol[j] + snj * hcol[j + 1]).at[j + 1].set(0.0)
+        gj = s.g[j]
+        gnew = s.g.at[j].set(csj * gj).at[j + 1].set(-snj * gj)
+        resnorm = jnp.abs(gnew[j + 1])
+        k = s.k + 1
+
+        updated = _CycleState(
+            V=s.V.at[j + 1].set(vnext),
+            H=s.H.at[:, j].set(hcol),
+            cs=s.cs.at[j].set(csj),
+            sn=s.sn.at[j].set(snj),
+            g=gnew,
+            resnorm=resnorm,
+            jdone=j + 1,
+            hist=s.hist.at[k].set(resnorm),
+            k=k,
+        )
+        return jax.tree.map(
+            lambda new, old: jnp.where(active, new, old), updated, s
+        )
+
+    def cycle(outer: _OuterState) -> _OuterState:
+        r = pres(b - A(outer.x))
+        beta = jnp.sqrt(jnp.sum(r * r))
+        V = jnp.zeros((m + 1,) + b.shape, b.dtype)
+        V = V.at[0].set(r / jnp.maximum(beta, tiny))
+        s0 = _CycleState(
+            V=V,
+            H=jnp.zeros((m + 1, m), b.dtype),
+            cs=jnp.zeros((m,), b.dtype),
+            sn=jnp.zeros((m,), b.dtype),
+            g=jnp.zeros((m + 1,), b.dtype).at[0].set(beta),
+            resnorm=beta,
+            jdone=jnp.int32(0),
+            hist=outer.hist,
+            k=outer.k,
+        )
+        s = lax.fori_loop(0, m, arnoldi_step, s0)
+
+        # solve the (masked) upper-triangular system H[:m,:m] y = g[:m]
+        rows = jnp.arange(m)
+        used = rows < s.jdone
+        Hm = jnp.where(used[None, :] & used[:, None], s.H[:m, :m], 0.0)
+        Hm = Hm + jnp.diag(jnp.where(used, 0.0, 1.0).astype(b.dtype))
+        y = jax.scipy.linalg.solve_triangular(Hm, jnp.where(used, s.g[:m], 0.0))
+        dx = jnp.tensordot(y, s.V[:m], axes=((0,), (0,)))
+        x = A.project(outer.x + dx)
+        return _OuterState(x, s.resnorm, s.k, s.hist)
+
+    def cond(outer: _OuterState) -> Array:
+        not_done = outer.resnorm > target(rnorm0)
+        return not_done & jnp.isfinite(outer.resnorm) & (outer.k < max_it)
+
+    final = lax.while_loop(cond, cycle, _OuterState(x, rnorm0, jnp.int32(0), hist))
+    reason = classify(final.resnorm, final.k, rnorm0, rtol_, atol_, max_it)
+    return SolveResult(final.x, final.k, final.resnorm, final.hist, reason)

@@ -1,0 +1,113 @@
+"""Options-driven solver dispatch — the KSPSetFromOptions / KSPSolve analog.
+
+The reference wires solver choice entirely through the options database:
+`KSPCreate` + `KSPSetOperators` + `KSPSetFromOptions` + `KSPSolve`
+(reference src/poissbox.f90:293-296), configured by `-ksp_*`/`-pc_*`/`-mg_*`
+flags (reference README.md:42-49). :func:`make_solver` assembles the same
+pipeline from a :class:`SolverOptions`: preconditioner construction
+(none/jacobi/mg), Krylov method selection (cg/gmres/richardson), stopping
+controls, and monitor output.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from poissbox_tpu.config import Options, SolverOptions
+from poissbox_tpu.linops import LinearOperator
+from poissbox_tpu.solvers.cg import cg
+from poissbox_tpu.solvers.gmres import gmres
+from poissbox_tpu.solvers.mg import MGConfig, make_mg_preconditioner
+from poissbox_tpu.solvers.result import SolveResult
+from poissbox_tpu.solvers.richardson import richardson
+
+Array = jax.Array
+
+
+def make_preconditioner(
+    A: LinearOperator,
+    opts: SolverOptions,
+    shape: Optional[Sequence[int]] = None,
+    deltas: Optional[Sequence[float]] = None,
+    dtype=jnp.float64,
+) -> Optional[Callable[[Array], Array]]:
+    """Build the preconditioner closure selected by `pc_type`."""
+    if opts.pc_type in ("none", ""):
+        return None
+    if opts.pc_type == "jacobi":
+        if A.diagonal is None:
+            raise ValueError("jacobi preconditioning needs an operator diagonal")
+        inv_diag = 1.0 / A.diagonal()
+        return lambda r: inv_diag * r
+    if opts.pc_type == "mg":
+        if shape is None or deltas is None:
+            raise ValueError("mg preconditioning needs the grid shape and deltas")
+        cfg = MGConfig(
+            levels=opts.mg_levels,
+            smoother=opts.mg_levels_pc_type,
+            pre_smooth=opts.mg_levels_ksp_max_it,
+            post_smooth=opts.mg_levels_ksp_max_it,
+            damping=None if opts.mg_levels_damping == 1.0
+            and opts.mg_levels_pc_type == "jacobi" else opts.mg_levels_damping,
+            coarse=opts.mg_coarse_pc_type,
+        )
+        return make_mg_preconditioner(shape, deltas, cfg, dtype)
+    raise ValueError(f"unknown pc_type {opts.pc_type!r} (expected none|jacobi|mg)")
+
+
+def make_solver(
+    A: LinearOperator,
+    opts: SolverOptions | Options | None = None,
+    shape: Optional[Sequence[int]] = None,
+    deltas: Optional[Sequence[float]] = None,
+    dtype=jnp.float64,
+) -> Callable[[Array], SolveResult]:
+    """Assemble a jit-compatible `solve(b) -> SolveResult` closure."""
+    if opts is None:
+        opts = SolverOptions()
+    elif isinstance(opts, Options):
+        opts = SolverOptions.from_options(opts)
+
+    M = make_preconditioner(A, opts, shape, deltas, dtype)
+    common = dict(M=M, rtol=opts.ksp_rtol, atol=opts.ksp_atol,
+                  max_it=opts.ksp_max_it)
+
+    if opts.ksp_type == "cg":
+        return lambda b, x0=None: cg(A, b, x0, **common)
+    if opts.ksp_type == "gmres":
+        return lambda b, x0=None: gmres(A, b, x0, restart=opts.gmres_restart,
+                                        **common)
+    if opts.ksp_type == "richardson":
+        return lambda b, x0=None: richardson(A, b, x0, **common)
+    raise ValueError(
+        f"unknown ksp_type {opts.ksp_type!r} (expected cg|gmres|richardson)")
+
+
+def solve(
+    A: LinearOperator,
+    b: Array,
+    opts: SolverOptions | Options | None = None,
+    x0: Optional[Array] = None,
+    shape: Optional[Sequence[int]] = None,
+    deltas: Optional[Sequence[float]] = None,
+) -> SolveResult:
+    """One-shot options-driven solve (KSPSolve analogue).
+
+    Prints `-ksp_monitor` / `-ksp_converged_reason` style output when those
+    flags are set (reference README.md:48-49).
+    """
+    if isinstance(opts, Options):
+        opts = SolverOptions.from_options(opts)
+    opts = opts or SolverOptions()
+    result = make_solver(A, opts, shape, deltas, b.dtype)(b, x0)
+    if opts.ksp_monitor:
+        for line in result.monitor_lines():
+            print(line)
+    if opts.ksp_converged_reason:
+        r = result.reason_enum()
+        print(f"Linear solve {r.message} (reason {r.name}, "
+              f"iterations {int(result.iterations)})")
+    return result

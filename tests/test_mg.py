@@ -1,0 +1,168 @@
+"""Geometric-multigrid tests.
+
+The reference's MG coverage is indirect — GAMG is configured by flags and
+observed through `-ksp_monitor` convergence (reference README.md:42-49).
+Here the V-cycle is a first-class object, so its algebraic requirements are
+tested directly: transfer-operator invariants, smoother behavior, V-cycle
+symmetry + linearity (required for CG preconditioning), contraction, and
+MG-CG iteration counts on the 64^3 demo problem.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import rms
+
+from poissbox_tpu.mesh import Grid3D
+from poissbox_tpu.ops.stencil import apply_laplacian, make_laplacian_operator
+from poissbox_tpu.solvers import cg
+from poissbox_tpu.solvers.mg import (
+    MGConfig,
+    _build_levels,
+    _dense_periodic_laplacian,
+    make_mg_preconditioner,
+    prolong,
+    restrict,
+)
+
+
+class TestTransfers:
+    def test_restrict_preserves_constants_and_mean(self):
+        f = jnp.full((8, 8, 8), 3.25)
+        c = restrict(f)
+        assert c.shape == (4, 4, 4)
+        np.testing.assert_allclose(np.asarray(c), 3.25)
+        key = jax.random.PRNGKey(1)
+        f = jax.random.uniform(key, (8, 8, 8), jnp.float64)
+        assert abs(float(jnp.mean(restrict(f)) - jnp.mean(f))) < 1e-14
+
+    def test_prolong_preserves_constants_and_mean(self):
+        c = jnp.full((4, 4, 4), -1.5)
+        f = prolong(c)
+        assert f.shape == (8, 8, 8)
+        np.testing.assert_allclose(np.asarray(f), -1.5)
+        key = jax.random.PRNGKey(2)
+        c = jax.random.uniform(key, (4, 4, 4), jnp.float64)
+        assert abs(float(jnp.mean(prolong(c)) - jnp.mean(c))) < 1e-14
+
+    def test_prolong_restrict_adjoint(self):
+        # <P c, f>_fine = 8 <c, R f>_coarse for these cell-centered
+        # transfers (R = P^T / 8): the Galerkin-compatibility condition.
+        kc, kf = jax.random.split(jax.random.PRNGKey(3))
+        c = jax.random.normal(kc, (4, 4, 4), jnp.float64)
+        f = jax.random.normal(kf, (8, 8, 8), jnp.float64)
+        lhs = float(jnp.sum(prolong(c) * f))
+        rhs = 8.0 * float(jnp.sum(c * restrict(f)))
+        assert abs(lhs - rhs) < 1e-11 * max(1.0, abs(lhs))
+
+
+class TestCoarseOperator:
+    def test_dense_matches_matrix_free(self):
+        shape, deltas = (4, 4, 4), (0.25, 0.25, 0.25)
+        A = _dense_periodic_laplacian(shape, deltas)
+        key = jax.random.PRNGKey(4)
+        u = jax.random.normal(key, shape, jnp.float64)
+        dense = (A @ np.asarray(u).ravel()).reshape(shape)
+        free = np.asarray(apply_laplacian(u, deltas))
+        np.testing.assert_allclose(dense, free, rtol=1e-12, atol=1e-10)
+
+    def test_dense_is_singular_with_constant_nullspace(self):
+        A = _dense_periodic_laplacian((4, 4, 4), (0.25, 0.25, 0.25))
+        ones = np.ones(64)
+        assert np.max(np.abs(A @ ones)) < 1e-10
+        assert np.linalg.matrix_rank(A, tol=1e-8) == 63
+
+
+class TestVCycle:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        grid = Grid3D((16, 16, 16))
+        A = make_laplacian_operator(grid)
+        M = make_mg_preconditioner(grid.n, grid.deltas, MGConfig())
+        return grid, A, M
+
+    def test_levels_autobuild(self):
+        levels = _build_levels((64, 64, 64), (1 / 64,) * 3, MGConfig())
+        assert [l.shape[0] for l in levels] == [64, 32, 16, 8, 4]
+
+    def test_symmetry(self, setup):
+        # CG needs a symmetric preconditioner; the reversed-color
+        # post-smoother makes the V-cycle self-adjoint.
+        grid, A, M = setup
+        k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+        r1 = jax.random.normal(k1, grid.n, jnp.float64)
+        r2 = jax.random.normal(k2, grid.n, jnp.float64)
+        lhs = float(jnp.sum(M(r1) * r2))
+        rhs = float(jnp.sum(r1 * M(r2)))
+        assert abs(lhs - rhs) < 1e-9 * max(1.0, abs(lhs))
+
+    def test_linearity(self, setup):
+        grid, A, M = setup
+        k1, k2 = jax.random.split(jax.random.PRNGKey(6))
+        r1 = jax.random.normal(k1, grid.n, jnp.float64)
+        r2 = jax.random.normal(k2, grid.n, jnp.float64)
+        combo = np.asarray(M(2.0 * r1 - 3.0 * r2))
+        parts = np.asarray(2.0 * M(r1) - 3.0 * M(r2))
+        np.testing.assert_allclose(combo, parts, rtol=1e-10, atol=1e-10)
+
+    def test_contraction(self, setup):
+        # One V-cycle must sharply reduce the error of the singular system
+        # (mean-free components).
+        grid, A, M = setup
+        key = jax.random.PRNGKey(7)
+        u = A.project(jax.random.normal(key, grid.n, jnp.float64))
+        b = A(u)
+        x = jnp.zeros_like(b)
+        for _ in range(2):
+            x = A.project(x + M(b - A(x)))
+        e0 = rms(np.asarray(u))
+        e2 = rms(np.asarray(x - u))
+        assert e2 < 0.05 * e0  # >= 10x error reduction per cycle
+
+
+class TestMGCG:
+    @pytest.mark.parametrize("smoother", ["sor", "jacobi"])
+    def test_mgcg_fast_convergence_16(self, smoother):
+        grid = Grid3D((16, 16, 16))
+        A = make_laplacian_operator(grid)
+        M = make_mg_preconditioner(grid.n, grid.deltas, MGConfig(smoother=smoother))
+        key = jax.random.PRNGKey(8)
+        u = A.project(grid.random(key))
+        b = A(u)
+        res = cg(A, b, M=M, rtol=1e-8, max_it=50)
+        assert bool(res.converged)
+        assert int(res.iterations) <= 12
+        assert rms(np.asarray(res.x - u)) < 1e-7
+
+    def test_mgcg_64_demo_problem(self):
+        # the reference demo's 64^3 problem with its solver of record:
+        # CG + multigrid, random mean-free solution, rtol 1e-8
+        grid = Grid3D((64, 64, 64))
+        A = make_laplacian_operator(grid)
+        M = make_mg_preconditioner(grid.n, grid.deltas, MGConfig())
+        key = jax.random.PRNGKey(9)
+        u = A.project(grid.random(key))
+        b = A(u)
+        res = jax.jit(lambda b_: cg(A, b_, M=M, rtol=1e-8, max_it=50))(b)
+        assert bool(res.converged)
+        # GAMG-CG converges in O(10) iterations on this problem; GMG must too
+        assert int(res.iterations) <= 15
+        true_res = float(jnp.linalg.norm((A(res.x) - b).ravel()))
+        b_norm = float(jnp.linalg.norm(b.ravel()))
+        assert true_res < 1e-7 * b_norm
+
+    def test_iteration_count_mesh_independence(self):
+        # multigrid's defining property: iterations ~ constant in n
+        counts = []
+        for n in (8, 16, 32):
+            grid = Grid3D((n, n, n))
+            A = make_laplacian_operator(grid)
+            M = make_mg_preconditioner(grid.n, grid.deltas, MGConfig())
+            key = jax.random.PRNGKey(10)
+            u = A.project(grid.random(key))
+            res = cg(A, A(u), M=M, rtol=1e-8, max_it=50)
+            assert bool(res.converged)
+            counts.append(int(res.iterations))
+        assert max(counts) <= min(counts) + 3
