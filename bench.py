@@ -1,0 +1,161 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline: 7-point stencil (matrix-free Laplacian matvec) throughput in
+GDoF/s per chip on the 256^3 grid — the hot kernel of every CG iteration
+(reference hot path: src/poissbox.f90:112-148 inside KSPSolve). Also runs
+the 256^3 MG-CG solve (BASELINE.md config #4 single-chip) and reports its
+time/iterations in the same JSON object.
+
+The reference publishes no timings (BASELINE.md), so `vs_baseline` is the
+roofline fraction: measured GDoF/s / speed-of-light GDoF/s, where
+speed-of-light = HBM_BW / 8 bytes-per-DoF (one f32 read + one f32 write per
+point for a perfectly fused stencil pass). >1.0 would beat the machine;
+the target is to approach 1.0.
+
+Usage: python bench.py [--n 256] [--dtype float32] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+# HBM bandwidth per chip, GB/s (decimal), used only to normalize vs roofline.
+HBM_GBPS = {
+    "TPU v5 lite": 819.0,   # v5e
+    "TPU v4": 1228.0,
+    "TPU v5p": 2765.0,
+    "TPU v6 lite": 1640.0,  # v6e
+}
+
+
+def _hbm_gbps() -> float:
+    kind = jax.devices()[0].device_kind
+    for key, bw in HBM_GBPS.items():
+        if kind.startswith(key):
+            return bw
+    return 819.0  # conservative default
+
+
+def _timed_loop(fn, u, iters: int) -> float:
+    """Best-of-3 wall time of `iters` chained applications, with a scalar
+    readback forcing execution (block_until_ready does not reliably block
+    on tunneled platforms)."""
+    f = jax.jit(lambda v: jnp.sum(
+        jax.lax.fori_loop(0, iters, lambda _, w: fn(w), v)))
+    float(f(u))  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(f(u))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_stencil(n: int, dtype, lo: int = 25, hi: int = 100) -> dict:
+    """Stencil GDoF/s via differenced device-side loops: (t_hi - t_lo) /
+    (hi - lo) cancels host-device roundtrip latency."""
+    from poissbox_tpu.ops.stencil import apply_laplacian
+
+    shape = (n, n, n)
+    deltas = (1.0 / n,) * 3
+    key = jax.random.PRNGKey(0)
+    u = jax.random.uniform(key, shape, dtype)
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu:
+        from poissbox_tpu.ops.stencil_pallas import apply_laplacian_pallas
+        fn = lambda v: apply_laplacian_pallas(v, deltas)
+    else:
+        fn = lambda v: apply_laplacian(v, deltas)
+
+    t_lo = _timed_loop(fn, u, lo)
+    t_hi = _timed_loop(fn, u, hi)
+    per_apply = max((t_hi - t_lo) / (hi - lo), 1e-9)
+    gdofs = n**3 / per_apply / 1e9
+    bpd = 2 * jnp.dtype(dtype).itemsize  # 1 read + 1 write per DoF, fused
+    sol = _hbm_gbps() / bpd              # speed-of-light GDoF/s
+    return {"stencil_gdofs": gdofs, "stencil_roofline_frac": gdofs / sol,
+            "stencil_time_per_apply_ms": per_apply * 1e3,
+            "stencil_impl": "pallas" if on_tpu else "roll"}
+
+
+def bench_mgcg(n: int, dtype, rtol: float) -> dict:
+    from poissbox_tpu.mesh import Grid3D
+    from poissbox_tpu.ops.stencil import make_laplacian_operator
+    from poissbox_tpu.solvers.cg import cg
+    from poissbox_tpu.solvers.mg import MGConfig, make_mg_preconditioner
+
+    grid = Grid3D((n, n, n))
+    A = make_laplacian_operator(grid)
+    M = make_mg_preconditioner(grid.n, grid.deltas, MGConfig(), dtype=dtype)
+
+    solve = jax.jit(lambda b: cg(A, b, M=M, rtol=rtol, max_it=50))
+    key = jax.random.PRNGKey(1)
+    u = jax.random.uniform(key, grid.n, dtype, -1.0, 1.0)
+    b = A(u - jnp.mean(u))
+
+    def run_once() -> float:
+        t0 = time.perf_counter()
+        res = solve(b)
+        float(res.residual_norm)  # readback forces execution
+        return time.perf_counter() - t0
+
+    run_once()  # compile + warm
+    # subtract the host<->device roundtrip measured on a trivial kernel
+    trivial = jax.jit(jnp.sum)
+    float(trivial(b))  # compile
+    rt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(trivial(b))
+        rt = min(rt, time.perf_counter() - t0)
+    dt = max(min(run_once() for _ in range(3)) - rt, 1e-9)
+    res = solve(b)
+    rel = float(res.residual_norm / res.history[0])
+    return {"mgcg_solve_s": dt, "mgcg_iters": int(res.iterations),
+            "mgcg_rel_residual": rel, "mgcg_converged": bool(res.converged)}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=256)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--rtol", type=float, default=1e-6)
+    ap.add_argument("--quick", action="store_true",
+                    help="64^3 only (fast sanity run)")
+    args = ap.parse_args()
+    if args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+    dtype = jnp.dtype(args.dtype)
+    n = 64 if args.quick else args.n
+
+    info = {"device": jax.devices()[0].device_kind, "n": n,
+            "dtype": str(dtype)}
+    print(f"bench: {info}", file=sys.stderr)
+
+    st = bench_stencil(n, dtype)
+    print(f"stencil: {st}", file=sys.stderr)
+    mg = bench_mgcg(n, dtype, args.rtol)
+    print(f"mgcg: {mg}", file=sys.stderr)
+
+    record = {
+        "metric": f"stencil_gdofs_{n}",
+        "value": round(st["stencil_gdofs"], 3),
+        "unit": "GDoF/s",
+        "vs_baseline": round(st["stencil_roofline_frac"], 4),
+        **{k: (float(f"{v:.6g}") if isinstance(v, float) else v)
+           for k, v in {**st, **mg, **info}.items()},
+    }
+    print(json.dumps(record))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

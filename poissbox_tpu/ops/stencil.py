@@ -69,7 +69,17 @@ def apply_laplacian_pointwise(u: jax.Array, deltas: Sequence[float]) -> jax.Arra
     return out
 
 
-def make_laplacian_operator(grid, impl: str = "roll"):
+def default_impl(shape, mesh=None) -> str:
+    """Pick the stencil implementation: the Pallas kernel on a single TPU
+    device with large-enough planes, the GSPMD roll formulation otherwise
+    (the Pallas kernel is per-device; sharded fields go through shard_map
+    in parallel.dist_stencil)."""
+    single = mesh is None or mesh.size == 1
+    on_tpu = jax.devices()[0].platform == "tpu"
+    return "pallas" if (single and on_tpu and min(shape) >= 16) else "roll"
+
+
+def make_laplacian_operator(grid, impl: str = "auto"):
     """Build the matrix-free Laplacian LinearOperator for a Grid3D.
 
     The assembled-P / matrix-free-A pair of the reference collapses to one
@@ -81,6 +91,8 @@ def make_laplacian_operator(grid, impl: str = "roll"):
     from poissbox_tpu.linops import LinearOperator, make_nullspace_projector
 
     deltas = grid.deltas
+    if impl == "auto":
+        impl = default_impl(grid.n, grid.mesh)
     if impl == "roll":
         apply = lambda u: apply_laplacian(u, deltas)
     elif impl == "pointwise":

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from poissbox_tpu.ops.stencil import apply_laplacian
+from poissbox_tpu.ops.stencil import apply_laplacian, default_impl
 
 Array = jax.Array
 
@@ -52,6 +52,7 @@ class MGConfig:
     coarse: str = "svd"           # "svd" | "direct" (both dense; svd truncates nullspace)
     coarse_size: int = 4          # stop coarsening at min(n) <= coarse_size
     cycles: int = 1               # V-cycles per preconditioner application
+    impl: str = "auto"            # level-operator impl: auto | roll | pallas
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,6 +60,18 @@ class _Level:
     shape: tuple[int, int, int]
     deltas: tuple[float, float, float]
     diag: float                   # constant stencil diagonal -2*sum(1/d^2)
+
+
+def _lapl(x: Array, lvl: _Level, cfg: MGConfig) -> Array:
+    """Level-operator application; fine levels use the tiled Pallas kernel
+    on single-device TPU runs, coarse/sharded levels the GSPMD rolls."""
+    impl = cfg.impl
+    if impl == "auto":
+        impl = default_impl(lvl.shape)
+    if impl == "pallas":
+        from poissbox_tpu.ops.stencil_pallas import apply_laplacian_pallas
+        return apply_laplacian_pallas(x, lvl.deltas)
+    return apply_laplacian(x, lvl.deltas)
 
 
 def _build_levels(shape, deltas, cfg: MGConfig) -> list[_Level]:
@@ -140,7 +153,7 @@ def _smooth(x: Array, b: Array, lvl: _Level, cfg: MGConfig, sweeps: int,
     if cfg.smoother == "jacobi":
         w = 8.0 / 9.0 if cfg.damping is None else cfg.damping
         for _ in range(sweeps):
-            x = x + w * inv_diag * (b - apply_laplacian(x, lvl.deltas))
+            x = x + w * inv_diag * (b - _lapl(x, lvl, cfg))
         return x
     if cfg.smoother == "sor":
         w = 1.0 if cfg.damping is None else cfg.damping
@@ -150,7 +163,7 @@ def _smooth(x: Array, b: Array, lvl: _Level, cfg: MGConfig, sweeps: int,
             colors = colors[::-1]
         for _ in range(sweeps):
             for mask in colors:
-                r = b - apply_laplacian(x, lvl.deltas)
+                r = b - _lapl(x, lvl, cfg)
                 x = x + (w * inv_diag) * mask * r
         return x
     raise ValueError(f"unknown smoother {cfg.smoother!r} (expected 'sor' or 'jacobi')")
@@ -207,7 +220,7 @@ def v_cycle(levels: Sequence[_Level], coarse_pinv: Array, cfg: MGConfig,
         flat = b.reshape(-1)
         return (coarse_pinv @ flat).reshape(lvl.shape)
     x = _smooth(jnp.zeros_like(b), b, lvl, cfg, cfg.pre_smooth, reverse=False)
-    r = b - apply_laplacian(x, lvl.deltas)
+    r = b - _lapl(x, lvl, cfg)
     ec = v_cycle(levels, coarse_pinv, cfg, restrict(r), idx + 1)
     x = x + prolong(ec)
     return _smooth(x, b, lvl, cfg, cfg.post_smooth, reverse=True)
@@ -231,7 +244,7 @@ def make_mg_preconditioner(
     def M(r: Array) -> Array:
         x = v_cycle(levels, pinv, cfg, r)
         for _ in range(cfg.cycles - 1):
-            x = x + v_cycle(levels, pinv, cfg, r - apply_laplacian(x, levels[0].deltas))
+            x = x + v_cycle(levels, pinv, cfg, r - _lapl(x, levels[0], cfg))
         return x
 
     return M
