@@ -37,12 +37,22 @@ def _factor_triples(n: int):
 def decompose_3d(ndev: int, shape: Sequence[int]) -> tuple[int, int, int]:
     """Choose a process grid (px, py, pz) for `ndev` devices on grid `shape`.
 
+    Dispatches to the native C++ planner when built (identical semantics,
+    cross-checked by tests/test_native.py); the Python path below is the
+    always-available reference implementation.
+
     Objective mirrors DMDA's heuristic: minimize communication surface
     2*(sx*sy + sy*sz + sz*sx) of the per-device sub-box (sx, sy, sz), with a
     hard preference for decompositions that divide the grid exactly and for
     putting parallelism on the slowest-varying axes first (keeps the
     innermost / lane axis contiguous on TPU).
     """
+    try:
+        from poissbox_tpu import native
+        if native.available():
+            return native.decompose_3d(ndev, shape)
+    except Exception:
+        pass  # fall through to the Python implementation
     nx, ny, nz = shape
     best = None
     for (px, py, pz) in _factor_triples(ndev):
