@@ -72,22 +72,44 @@ def compact_rhs(f: Array, a: float, b: float, opsign: int, stagger: int,
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def _toeplitz_factor(n: int, alpha: float, dtype_name: str, method: str) -> TridiagFactor:
+def _toeplitz_factor(n: int, alpha: float, dtype_name: str, method: str):
     """Factor the periodic (alpha, 1, alpha) system of size n, once.
 
     Runs eagerly (inputs are concrete), so under `jit` the factorization is
     baked into the executable as constants rather than recomputed per apply.
+    method 'pallas' returns the VMEM-resident Thomas kernel
+    (ops.tridiag_pallas); 'pscan'/'seq' the XLA solvers.
     """
     dt = jnp.dtype(dtype_name)
     a = jnp.full((n,), alpha, dt)
     b = jnp.ones((n,), dt)
     c = jnp.full((n,), alpha, dt)
+    if method == "pallas":
+        from poissbox_tpu.ops.tridiag_pallas import PallasTridiagFactor
+        return PallasTridiagFactor(a, b, c, periodic=True)
     return TridiagFactor(a, b, c, periodic=True, method=method)
 
 
+def _default_method() -> str:
+    return "pallas" if jax.devices()[0].platform == "tpu" else "pscan"
+
+
 def _apply_compact(f: Array, coeffs: CompactCoeffs, stagger: int, axis: int,
-                   method: str = "pscan") -> Array:
+                   method: str = "auto") -> Array:
     n = f.shape[axis]
+    if method == "auto":
+        method = _default_method()
+    if method == "pallas" and f.size // n < 1024:
+        method = "pscan"  # batch too small to feed the kernel's tiles
+    if method == "pallas":
+        # evaluate the RHS in lines-major layout so the Pallas solve needs
+        # no second transpose
+        fm = f if axis % f.ndim == 0 else jnp.moveaxis(f, axis, 0)
+        rhs = compact_rhs(fm, coeffs.a, coeffs.b, coeffs.opsign, stagger, 0)
+        fac = _toeplitz_factor(n, float(coeffs.alpha),
+                               jnp.dtype(f.dtype).name, method)
+        out = fac.solve(rhs, axis=0)
+        return out if axis % f.ndim == 0 else jnp.moveaxis(out, 0, axis)
     rhs = compact_rhs(f, coeffs.a, coeffs.b, coeffs.opsign, stagger, axis)
     fac = _toeplitz_factor(n, float(coeffs.alpha), jnp.dtype(f.dtype).name, method)
     return fac.solve(rhs, axis=axis)
