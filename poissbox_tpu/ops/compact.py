@@ -75,19 +75,23 @@ def compact_rhs(f: Array, a: float, b: float, opsign: int, stagger: int,
 def _toeplitz_factor(n: int, alpha: float, dtype_name: str, method: str):
     """Factor the periodic (alpha, 1, alpha) system of size n, once.
 
-    Runs eagerly (inputs are concrete), so under `jit` the factorization is
-    baked into the executable as constants rather than recomputed per apply.
-    method 'pallas' returns the VMEM-resident Thomas kernel
-    (ops.tridiag_pallas); 'pscan'/'seq' the XLA solvers.
+    Runs eagerly — `ensure_compile_time_eval` forces concrete evaluation
+    even when the first call happens inside a jit trace (otherwise the
+    cache would capture tracers and leak them into later traces). Under
+    `jit` the factorization is baked into the executable as constants
+    rather than recomputed per apply. method 'pallas' returns the
+    VMEM-resident Thomas kernel (ops.tridiag_pallas); 'pscan'/'seq' the
+    XLA solvers.
     """
-    dt = jnp.dtype(dtype_name)
-    a = jnp.full((n,), alpha, dt)
-    b = jnp.ones((n,), dt)
-    c = jnp.full((n,), alpha, dt)
-    if method == "pallas":
-        from poissbox_tpu.ops.tridiag_pallas import PallasTridiagFactor
-        return PallasTridiagFactor(a, b, c, periodic=True)
-    return TridiagFactor(a, b, c, periodic=True, method=method)
+    with jax.ensure_compile_time_eval():
+        dt = jnp.dtype(dtype_name)
+        a = jnp.full((n,), alpha, dt)
+        b = jnp.ones((n,), dt)
+        c = jnp.full((n,), alpha, dt)
+        if method == "pallas":
+            from poissbox_tpu.ops.tridiag_pallas import PallasTridiagFactor
+            return PallasTridiagFactor(a, b, c, periodic=True)
+        return TridiagFactor(a, b, c, periodic=True, method=method)
 
 
 def _default_method() -> str:

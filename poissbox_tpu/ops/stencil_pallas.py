@@ -29,7 +29,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _lapl_kernel(prev_ref, cur_ref, next_ref, out_ref, *, invs):
+def _star(prev_ref, cur_ref, next_ref, invs):
+    """Evaluate the 7-point star on a halo-extended slab."""
     ivx, ivy, ivz = invs
     c = cur_ref[:]
     # x-neighbors: shift within the slab, boundary planes from the
@@ -42,7 +43,7 @@ def _lapl_kernel(prev_ref, cur_ref, next_ref, out_ref, *, invs):
     yp = pltpu.roll(c, c.shape[1] - 1, 1)  # pltpu.roll wants shift >= 0
     zm = pltpu.roll(c, 1, 2)
     zp = pltpu.roll(c, c.shape[2] - 1, 2)
-    out_ref[:] = (
+    return (
         (xm + xp) * ivx
         + (ym + yp) * ivy
         + (zm + zp) * ivz
@@ -50,33 +51,100 @@ def _lapl_kernel(prev_ref, cur_ref, next_ref, out_ref, *, invs):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("deltas", "tile_x"))
-def _apply(u: jax.Array, deltas, tile_x: int) -> jax.Array:
+def _lapl_kernel(prev_ref, cur_ref, next_ref, out_ref, *, invs):
+    out_ref[:] = _star(prev_ref, cur_ref, next_ref, invs)
+
+
+def _residual_kernel(prev_ref, cur_ref, next_ref, b_ref, out_ref, *, invs):
+    """out = b - A x, one fused pass."""
+    out_ref[:] = b_ref[:] - _star(prev_ref, cur_ref, next_ref, invs)
+
+
+def _jacobi_kernel(prev_ref, cur_ref, next_ref, b_ref, out_ref, *,
+                   invs, winv_diag):
+    """Damped Jacobi sweep: out = x + (w/diag) * (b - A x), fused."""
+    r = b_ref[:] - _star(prev_ref, cur_ref, next_ref, invs)
+    out_ref[:] = cur_ref[:] + winv_diag * r
+
+
+def _sor_kernel(prev_ref, cur_ref, next_ref, b_ref, out_ref, *,
+                invs, winv_diag, color, tile_x):
+    """One red-black SOR color update, fused: out = x + mask*(w/diag)*r
+    with mask = [(i + j + k) % 2 == color], i global."""
+    shape = cur_ref.shape
+    i0 = pl.program_id(0) * tile_x
+    ii = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + i0
+    jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    mask = ((ii + jj + kk) % 2) == color
+    r = b_ref[:] - _star(prev_ref, cur_ref, next_ref, invs)
+    out_ref[:] = cur_ref[:] + jnp.where(mask, winv_diag * r, 0.0)
+
+
+def _launch(kernel, u: jax.Array, tile_x: int, extra=()):
+    """Launch a halo-extended slab kernel: inputs are (prev-plane, slab,
+    next-plane) views of u plus optional same-slab extras (e.g. b)."""
     nx, ny, nz = u.shape
-    invs = tuple(1.0 / float(d) ** 2 for d in deltas)
-    nblk = nx // tile_x
-    kernel = functools.partial(_lapl_kernel, invs=invs)
-    flops = 9 * nx * ny * nz
-    bytes_acc = 2 * u.size * u.dtype.itemsize
+    slab = lambda: pl.BlockSpec((tile_x, ny, nz), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+    plane = lambda off: pl.BlockSpec(
+        (1, ny, nz), lambda i: ((i * tile_x + off) % nx, 0, 0),
+        memory_space=pltpu.VMEM)
+    n_in = 3 + len(extra)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
-        grid=(nblk,),
-        in_specs=[
-            # single plane below the slab, periodic
-            pl.BlockSpec((1, ny, nz), lambda i: ((i * tile_x - 1) % nx, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_x, ny, nz), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            # single plane above the slab, periodic
-            pl.BlockSpec((1, ny, nz), lambda i: ((i * tile_x + tile_x) % nx, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tile_x, ny, nz), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        cost_estimate=pl.CostEstimate(flops=flops, bytes_accessed=bytes_acc,
-                                      transcendentals=0),
-    )(u, u, u)
+        grid=(nx // tile_x,),
+        in_specs=[plane(-1), slab(), plane(tile_x)] + [slab()] * len(extra),
+        out_specs=slab(),
+        cost_estimate=pl.CostEstimate(
+            flops=9 * u.size, bytes_accessed=n_in * u.size * u.dtype.itemsize,
+            transcendentals=0),
+        interpret=jax.default_backend() != "tpu",
+    )(u, u, u, *extra)
+
+
+@functools.partial(jax.jit, static_argnames=("deltas", "tile_x"))
+def _apply(u: jax.Array, deltas, tile_x: int) -> jax.Array:
+    invs = tuple(1.0 / float(d) ** 2 for d in deltas)
+    return _launch(functools.partial(_lapl_kernel, invs=invs), u, tile_x)
+
+
+@functools.partial(jax.jit, static_argnames=("deltas", "tile_x"))
+def _residual(u, b, deltas, tile_x):
+    invs = tuple(1.0 / float(d) ** 2 for d in deltas)
+    return _launch(functools.partial(_residual_kernel, invs=invs), u, tile_x,
+                   extra=(b,))
+
+
+@functools.partial(jax.jit, static_argnames=("deltas", "tile_x", "weight"))
+def _jacobi(u, b, deltas, weight, tile_x):
+    invs = tuple(1.0 / float(d) ** 2 for d in deltas)
+    winv = weight / (-2.0 * sum(invs))
+    return _launch(
+        functools.partial(_jacobi_kernel, invs=invs, winv_diag=winv),
+        u, tile_x, extra=(b,))
+
+
+@functools.partial(jax.jit, static_argnames=("deltas", "tile_x", "weight",
+                                             "color"))
+def _sor(u, b, deltas, weight, color, tile_x):
+    invs = tuple(1.0 / float(d) ** 2 for d in deltas)
+    winv = weight / (-2.0 * sum(invs))
+    return _launch(
+        functools.partial(_sor_kernel, invs=invs, winv_diag=winv,
+                          color=color, tile_x=tile_x),
+        u, tile_x, extra=(b,))
+
+
+def _pick_tile(u: jax.Array, tile_x: int) -> int:
+    nx, ny, nz = u.shape
+    while nx % tile_x:
+        tile_x //= 2
+    # keep double-buffered in+out slabs within VMEM
+    while tile_x > 1 and 4 * tile_x * ny * nz * u.dtype.itemsize > 12 * 2**20:
+        tile_x //= 2
+    return max(tile_x, 1)
 
 
 def apply_laplacian_pallas(u: jax.Array, deltas: Sequence[float],
@@ -88,7 +156,26 @@ def apply_laplacian_pallas(u: jax.Array, deltas: Sequence[float],
     reference demo cross-checks its two operator paths,
     reference src/example.f90:235-261).
     """
-    nx = u.shape[0]
-    while nx % tile_x:
-        tile_x //= 2
-    return _apply(u, tuple(float(d) for d in deltas), max(tile_x, 1))
+    return _apply(u, tuple(float(d) for d in deltas), _pick_tile(u, tile_x))
+
+
+def residual_pallas(u: jax.Array, b: jax.Array, deltas: Sequence[float],
+                    tile_x: int = 8) -> jax.Array:
+    """Fused residual r = b - A u (3 HBM passes instead of 5)."""
+    return _residual(u, b, tuple(float(d) for d in deltas),
+                     _pick_tile(u, tile_x))
+
+
+def jacobi_sweep_pallas(u: jax.Array, b: jax.Array, deltas: Sequence[float],
+                        weight: float, tile_x: int = 8) -> jax.Array:
+    """Fused damped-Jacobi smoother sweep u + (w/diag)(b - A u) — the MG
+    level smoother as one memory pass over (u, b, out)."""
+    return _jacobi(u, b, tuple(float(d) for d in deltas), float(weight),
+                   _pick_tile(u, tile_x))
+
+
+def sor_sweep_pallas(u: jax.Array, b: jax.Array, deltas: Sequence[float],
+                     weight: float, color: int, tile_x: int = 8) -> jax.Array:
+    """Fused red-black SOR color update (color 0 = red, (i+j+k) even)."""
+    return _sor(u, b, tuple(float(d) for d in deltas), float(weight),
+                int(color), _pick_tile(u, tile_x))

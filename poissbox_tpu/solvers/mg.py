@@ -62,16 +62,27 @@ class _Level:
     diag: float                   # constant stencil diagonal -2*sum(1/d^2)
 
 
-def _lapl(x: Array, lvl: _Level, cfg: MGConfig) -> Array:
-    """Level-operator application; fine levels use the tiled Pallas kernel
-    on single-device TPU runs, coarse/sharded levels the GSPMD rolls."""
+def _use_pallas(lvl: _Level, cfg: MGConfig) -> bool:
     impl = cfg.impl
     if impl == "auto":
         impl = default_impl(lvl.shape)
-    if impl == "pallas":
+    return impl == "pallas"
+
+
+def _lapl(x: Array, lvl: _Level, cfg: MGConfig) -> Array:
+    """Level-operator application; fine levels use the tiled Pallas kernel
+    on single-device TPU runs, coarse/sharded levels the GSPMD rolls."""
+    if _use_pallas(lvl, cfg):
         from poissbox_tpu.ops.stencil_pallas import apply_laplacian_pallas
         return apply_laplacian_pallas(x, lvl.deltas)
     return apply_laplacian(x, lvl.deltas)
+
+
+def _residual(x: Array, b: Array, lvl: _Level, cfg: MGConfig) -> Array:
+    if _use_pallas(lvl, cfg):
+        from poissbox_tpu.ops.stencil_pallas import residual_pallas
+        return residual_pallas(x, b, lvl.deltas)
+    return b - apply_laplacian(x, lvl.deltas)
 
 
 def _build_levels(shape, deltas, cfg: MGConfig) -> list[_Level]:
@@ -150,21 +161,32 @@ def _smooth(x: Array, b: Array, lvl: _Level, cfg: MGConfig, sweeps: int,
     code).
     """
     inv_diag = 1.0 / lvl.diag
+    pallas = _use_pallas(lvl, cfg)
     if cfg.smoother == "jacobi":
         w = 8.0 / 9.0 if cfg.damping is None else cfg.damping
+        if pallas:
+            from poissbox_tpu.ops.stencil_pallas import jacobi_sweep_pallas
+            for _ in range(sweeps):
+                x = jacobi_sweep_pallas(x, b, lvl.deltas, w)
+            return x
         for _ in range(sweeps):
-            x = x + w * inv_diag * (b - _lapl(x, lvl, cfg))
+            x = x + w * inv_diag * (b - apply_laplacian(x, lvl.deltas))
         return x
     if cfg.smoother == "sor":
         w = 1.0 if cfg.damping is None else cfg.damping
+        order = [1, 0] if reverse else [0, 1]  # color 0 = red, (i+j+k) even
+        if pallas:
+            from poissbox_tpu.ops.stencil_pallas import sor_sweep_pallas
+            for _ in range(sweeps):
+                for color in order:
+                    x = sor_sweep_pallas(x, b, lvl.deltas, w, color)
+            return x
         red = _color_mask(lvl.shape, b.dtype)
-        colors = [red, 1.0 - red]
-        if reverse:
-            colors = colors[::-1]
+        masks = {0: red, 1: 1.0 - red}
         for _ in range(sweeps):
-            for mask in colors:
-                r = b - _lapl(x, lvl, cfg)
-                x = x + (w * inv_diag) * mask * r
+            for color in order:
+                r = b - apply_laplacian(x, lvl.deltas)
+                x = x + (w * inv_diag) * masks[color] * r
         return x
     raise ValueError(f"unknown smoother {cfg.smoother!r} (expected 'sor' or 'jacobi')")
 
@@ -220,7 +242,7 @@ def v_cycle(levels: Sequence[_Level], coarse_pinv: Array, cfg: MGConfig,
         flat = b.reshape(-1)
         return (coarse_pinv @ flat).reshape(lvl.shape)
     x = _smooth(jnp.zeros_like(b), b, lvl, cfg, cfg.pre_smooth, reverse=False)
-    r = b - _lapl(x, lvl, cfg)
+    r = _residual(x, b, lvl, cfg)
     ec = v_cycle(levels, coarse_pinv, cfg, restrict(r), idx + 1)
     x = x + prolong(ec)
     return _smooth(x, b, lvl, cfg, cfg.post_smooth, reverse=True)

@@ -1,0 +1,51 @@
+"""Profiling — the `-log_view` analogue.
+
+`trace` wraps `jax.profiler.trace` for TensorBoard-viewable device traces;
+`kernel_time` measures steady-state per-application time of a field->field
+function with the protocol that survives tunneled/async platforms: chain
+applications in a device-side `fori_loop`, force execution with a scalar
+readback, and difference two iteration counts so host<->device roundtrip
+latency cancels. (Naive `block_until_ready` timing is unreliable on
+remote-tunneled TPU platforms — it can return before execution finishes.)
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+@contextlib.contextmanager
+def trace(logdir: str = "/tmp/poissbox-trace"):
+    """Capture a device trace viewable in TensorBoard / Perfetto."""
+    with jax.profiler.trace(logdir):
+        yield logdir
+
+
+def kernel_time(fn: Callable, example, lo: int = 10, hi: int = 40,
+                reps: int = 3) -> float:
+    """Steady-state seconds per application of `fn` on `example`."""
+
+    def timed(iters: int) -> float:
+        f = jax.jit(lambda v: jnp.sum(
+            jax.lax.fori_loop(0, iters, lambda _, w: fn(w), v)))
+        float(f(example))  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(f(example))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return max((timed(hi) - timed(lo)) / (hi - lo), 1e-12)
+
+
+def bandwidth_gbps(fn: Callable, example, passes: int = 2, **kw) -> float:
+    """Effective HBM bandwidth assuming `passes` full-array passes per
+    application (2 = read + write for a perfectly fused kernel)."""
+    t = kernel_time(fn, example, **kw)
+    return passes * example.size * example.dtype.itemsize / t / 1e9

@@ -122,6 +122,45 @@ class TestVCycle:
         assert e2 < 0.05 * e0  # >= 10x error reduction per cycle
 
 
+class TestPallasSmoothers:
+    @pytest.mark.parametrize("smoother", ["sor", "jacobi"])
+    def test_pallas_vcycle_matches_roll(self, smoother):
+        # interpret-mode Pallas smoothers must agree with the XLA rolls
+        grid = Grid3D((16, 16, 16))
+        key = jax.random.PRNGKey(11)
+        r = jax.random.normal(key, grid.n, jnp.float64)
+        out = {}
+        for impl in ("roll", "pallas"):
+            M = make_mg_preconditioner(
+                grid.n, grid.deltas,
+                MGConfig(smoother=smoother, impl=impl, coarse_size=8))
+            out[impl] = np.asarray(M(r))
+        np.testing.assert_allclose(out["pallas"], out["roll"],
+                                   rtol=1e-12, atol=1e-12)
+
+    def test_fused_kernels_match_formulas(self):
+        from poissbox_tpu.ops.stencil_pallas import (
+            jacobi_sweep_pallas, residual_pallas, sor_sweep_pallas)
+        shape, d = (8, 8, 8), (0.125, 0.125, 0.125)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(12))
+        x = jax.random.normal(k1, shape, jnp.float64)
+        b = jax.random.normal(k2, shape, jnp.float64)
+        diag = -6.0 / 0.125**2
+        np.testing.assert_allclose(
+            np.asarray(residual_pallas(x, b, d)),
+            np.asarray(b - apply_laplacian(x, d)), rtol=1e-13, atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(jacobi_sweep_pallas(x, b, d, 0.9)),
+            np.asarray(x + 0.9 / diag * (b - apply_laplacian(x, d))),
+            rtol=1e-13, atol=1e-12)
+        from poissbox_tpu.solvers.mg import _color_mask
+        red = _color_mask(shape, jnp.float64)
+        r = b - apply_laplacian(x, d)
+        np.testing.assert_allclose(
+            np.asarray(sor_sweep_pallas(x, b, d, 1.0, 0)),
+            np.asarray(x + (1.0 / diag) * red * r), rtol=1e-13, atol=1e-12)
+
+
 class TestMGCG:
     @pytest.mark.parametrize("smoother", ["sor", "jacobi"])
     def test_mgcg_fast_convergence_16(self, smoother):

@@ -61,6 +61,26 @@ def test_random_diag_dominant(rng):
                                rtol=1e-12, atol=1e-12)
 
 
+@pytest.mark.parametrize("method", ["pscan", "pallas"])
+def test_factor_cache_safe_across_jits(method):
+    # regression: the lru-cached Toeplitz factorization used to capture
+    # tracers when first constructed inside a jit trace, leaking them into
+    # any later trace with the same (n, alpha, dtype) key
+    import poissbox_tpu.ops.compact as C
+    from poissbox_tpu.ops.coefficients import compact_grad_coeffs
+    C._toeplitz_factor.cache_clear()
+    n = 32
+    dx = 1.0 / n
+    u = jax.random.uniform(jax.random.PRNGKey(3), (n, n, n), jnp.float64)
+    co = compact_grad_coeffs(dx)
+    f1 = jax.jit(lambda v: C._apply_compact(v, co, -1, 0, method=method))
+    f2 = jax.jit(lambda v: C._apply_compact(v, co, -1, 0, method=method) * 2.0)
+    a = f1(u)          # first construction happens inside this trace
+    b = f2(u)          # second, distinct trace must not see leaked tracers
+    np.testing.assert_allclose(np.asarray(b), 2.0 * np.asarray(a),
+                               rtol=1e-13, atol=1e-13)
+
+
 def test_compact_pallas_method_matches():
     from poissbox_tpu.ops.coefficients import compact_grad_coeffs
     import poissbox_tpu.ops.compact as C
