@@ -1,0 +1,95 @@
+"""Checkpoint/resume for long-running solves.
+
+The reference has no checkpointing — its solve is one-shot
+(reference src/example.f90:78; SURVEY.md §5.4). At production scale
+(1024^3+, multi-host, long Krylov runs with refinement loops) preemption
+recovery matters, so the framework provides it: solver state (iterate,
+RHS, residual history, iteration count) saved via Orbax — which handles
+multi-host sharded arrays natively — with a numpy fallback for
+environments without it. Resuming a Krylov solve is mathematically clean:
+CG/GMRES restarted from the saved iterate x0 continues minimizing in the
+same Krylov space family.
+
+    state = SolveCheckpoint.from_result(result, b=b)
+    save(path, state.as_dict())
+    ...
+    st = load(path)
+    res = cg(A, st["b"], x0=st["x"], ...)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _orbax():
+    try:
+        import orbax.checkpoint as ocp
+        return ocp
+    except ImportError:
+        return None
+
+
+def save(path: str, state: Mapping[str, Any], force: bool = True) -> str:
+    """Save a pytree of (possibly sharded) arrays. Returns the path."""
+    path = os.path.abspath(path)
+    ocp = _orbax()
+    if ocp is not None:
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, dict(state), force=force)
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez(path + ".npz", **{k: np.asarray(v) for k, v in state.items()})
+    return path + ".npz"
+
+
+def load(path: str, template: Optional[Mapping[str, Any]] = None) -> dict:
+    """Load a checkpoint; `template` (abstract arrays with shardings)
+    restores sharded-array placement on multi-host meshes."""
+    path = os.path.abspath(path)
+    ocp = _orbax()
+    if ocp is not None and os.path.isdir(path):
+        with ocp.StandardCheckpointer() as ckptr:
+            if template is not None:
+                abstract = jax.tree.map(
+                    lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                                   sharding=getattr(x, "sharding", None))
+                    if hasattr(x, "shape") else x,
+                    dict(template))
+                return dict(ckptr.restore(path, abstract))
+            return dict(ckptr.restore(path))
+    npz = path if path.endswith(".npz") else path + ".npz"
+    with np.load(npz) as data:
+        return {k: jnp.asarray(v) for k, v in data.items()}
+
+
+@dataclasses.dataclass
+class SolveCheckpoint:
+    """Typed view of resumable solver state."""
+
+    x: jax.Array
+    b: jax.Array
+    iterations: int
+    residual_norm: float
+
+    @classmethod
+    def from_result(cls, result, b: jax.Array) -> "SolveCheckpoint":
+        return cls(x=result.x, b=b, iterations=int(result.iterations),
+                   residual_norm=float(result.residual_norm))
+
+    def as_dict(self) -> dict:
+        return {"x": self.x, "b": self.b,
+                "iterations": jnp.int32(self.iterations),
+                "residual_norm": jnp.float64(self.residual_norm)
+                if jax.config.jax_enable_x64 else jnp.float32(self.residual_norm)}
+
+    @classmethod
+    def from_dict(cls, d: Mapping[str, Any]) -> "SolveCheckpoint":
+        return cls(x=d["x"], b=d["b"], iterations=int(d["iterations"]),
+                   residual_norm=float(d["residual_norm"]))

@@ -26,6 +26,26 @@ from jax.sharding import AxisType, Mesh, NamedSharding, PartitionSpec
 from poissbox_tpu.parallel.decomp import decompose_3d, dof_distribution
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Initialize the multi-host runtime — the MPI_Init analogue
+    (reference src/example.f90:43-44).
+
+    On single-process runs this is a no-op; on multi-host TPU slices it
+    wires `jax.distributed` (auto-detecting cluster parameters on TPU pods
+    when no arguments are given) so `jax.devices()` spans all hosts and
+    collectives ride ICI/DCN.
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize(coordinator_address, num_processes,
+                                   process_id)
+    except (ValueError, RuntimeError):
+        pass  # single-process environment
+
+
 def make_device_mesh(
     pgrid: Sequence[int],
     axis_names: Sequence[str] = ("x", "y", "z"),

@@ -11,6 +11,9 @@ README.md:42-49). Here the same capability surface is pure JAX:
                          (replaces `-pc_type gamg` — the grid is structured,
                          so GMG is the idiomatic equivalent)
   - solvers.ksp ........ options-driven dispatcher (KSPSetFromOptions analog)
+  - solvers.refine ..... mixed-precision iterative refinement (f32 inner
+                         solves, f64 true residuals — the TPU-native route
+                         to the reference's double-precision accuracy)
 
 All solvers are jit-compatible (`lax.while_loop` outer iterations, psum-style
 global reductions via jnp on sharded arrays), handle the singular periodic
@@ -25,6 +28,7 @@ from poissbox_tpu.solvers.gmres import gmres
 from poissbox_tpu.solvers.richardson import richardson
 from poissbox_tpu.solvers.mg import MGConfig, make_mg_preconditioner, v_cycle
 from poissbox_tpu.solvers.ksp import solve, make_solver
+from poissbox_tpu.solvers.refine import RefineResult, refine
 
 __all__ = [
     "SolveResult",
@@ -37,4 +41,6 @@ __all__ = [
     "v_cycle",
     "solve",
     "make_solver",
+    "refine",
+    "RefineResult",
 ]

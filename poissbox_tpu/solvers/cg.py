@@ -75,6 +75,9 @@ def cg(
     p = z
     rz = _dot(r, z)
     rnorm0 = jnp.sqrt(_dot(r, r))
+    # PETSc KSPConvergedDefault semantics: relative to ||b|| (equals the
+    # initial residual for a zero guess; correct for warm/resumed starts)
+    bnorm = jnp.sqrt(_dot(b, b))
 
     hist = jnp.full((max_it + 1,), jnp.nan, dtype=b.dtype)
     hist = hist.at[0].set(rnorm0)
@@ -83,7 +86,7 @@ def cg(
     rtol_ = jnp.asarray(rtol, b.dtype)
 
     def cond(s: _CGState) -> Array:
-        not_done = (s.resnorm > rtol_ * rnorm0) & (s.resnorm > atol_)
+        not_done = (s.resnorm > rtol_ * bnorm) & (s.resnorm > atol_)
         ok = jnp.isfinite(s.resnorm)
         return not_done & ok & (s.k < max_it)
 
@@ -104,7 +107,7 @@ def cg(
     init = _CGState(x, r, p, rz, rnorm0, jnp.int32(0), hist)
     final = lax.while_loop(cond, body, init)
 
-    reason = classify(final.resnorm, final.k, rnorm0, rtol_, atol_, max_it)
+    reason = classify(final.resnorm, final.k, bnorm, rtol_, atol_, max_it)
     return SolveResult(
         x=A.project(final.x),
         iterations=final.k,

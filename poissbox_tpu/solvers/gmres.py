@@ -70,6 +70,8 @@ def gmres(
 
     r0 = pres(b - A(x))
     rnorm0 = jnp.sqrt(jnp.sum(r0 * r0))
+    pb = pres(b)
+    bnorm = jnp.sqrt(jnp.sum(pb * pb))  # PETSc KSPConvergedDefault base
     hist = jnp.full((max_it + 1,), jnp.nan, dtype=b.dtype)
     hist = hist.at[0].set(rnorm0)
 
@@ -77,8 +79,8 @@ def gmres(
     rtol_ = jnp.asarray(rtol, b.dtype)
     tiny = jnp.asarray(jnp.finfo(b.dtype).tiny, b.dtype)
 
-    def target(rn0):
-        return jnp.maximum(rtol_ * rn0, atol_)
+    def target(_rn0):
+        return jnp.maximum(rtol_ * bnorm, atol_)
 
     def arnoldi_step(j: Array, s: _CycleState) -> _CycleState:
         active = (s.resnorm > target(rnorm0)) & (j == s.jdone)
@@ -157,5 +159,5 @@ def gmres(
         return not_done & jnp.isfinite(outer.resnorm) & (outer.k < max_it)
 
     final = lax.while_loop(cond, cycle, _OuterState(x, rnorm0, jnp.int32(0), hist))
-    reason = classify(final.resnorm, final.k, rnorm0, rtol_, atol_, max_it)
+    reason = classify(final.resnorm, final.k, bnorm, rtol_, atol_, max_it)
     return SolveResult(final.x, final.k, final.resnorm, final.hist, reason)

@@ -47,6 +47,7 @@ def richardson(
 
     r0 = b - A(x)
     rnorm0 = jnp.sqrt(jnp.sum(r0 * r0))
+    bnorm = jnp.sqrt(jnp.sum(b * b))  # PETSc KSPConvergedDefault base
     hist = jnp.full((max_it + 1,), jnp.nan, dtype=b.dtype)
     hist = hist.at[0].set(rnorm0)
 
@@ -55,7 +56,7 @@ def richardson(
     w = jnp.asarray(omega, b.dtype)
 
     def cond(s: _RichState) -> Array:
-        not_done = (s.resnorm > rtol_ * rnorm0) & (s.resnorm > atol_)
+        not_done = (s.resnorm > rtol_ * bnorm) & (s.resnorm > atol_)
         return not_done & jnp.isfinite(s.resnorm) & (s.k < max_it)
 
     def body(s: _RichState) -> _RichState:
@@ -67,5 +68,5 @@ def richardson(
         return _RichState(x, resnorm, k, s.hist.at[k].set(resnorm))
 
     final = lax.while_loop(cond, body, _RichState(x, rnorm0, jnp.int32(0), hist))
-    reason = classify(final.resnorm, final.k, rnorm0, rtol_, atol_, max_it)
+    reason = classify(final.resnorm, final.k, bnorm, rtol_, atol_, max_it)
     return SolveResult(final.x, final.k, final.resnorm, final.hist, reason)

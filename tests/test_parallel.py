@@ -109,6 +109,19 @@ class TestShardedOperator:
         got = np.asarray(apply_laplacian_sharded(grid.shard(u), grid))
         np.testing.assert_allclose(got, expect, rtol=1e-13, atol=1e-10)
 
+    @pytest.mark.parametrize("pgrid", [(8, 1, 1), (4, 2, 1), (2, 2, 2)])
+    def test_overlap_matches_unsharded(self, pgrid):
+        # correction-form overlapped exchange == padded exchange == global
+        mesh = make_device_mesh(pgrid)
+        grid = Grid3D((16, 16, 16), mesh=mesh)
+        key = jax.random.PRNGKey(7)
+        u = jax.random.normal(key, grid.n, jnp.float64)
+        expect = np.asarray(apply_laplacian(u, grid.deltas))
+        got = np.asarray(jax.jit(
+            lambda v: apply_laplacian_sharded(v, grid, overlap=True))(
+            grid.shard(u)))
+        np.testing.assert_allclose(got, expect, rtol=1e-13, atol=1e-10)
+
     def test_gspmd_matches_unsharded(self):
         mesh = make_device_mesh((4, 2, 1))
         grid = Grid3D((16, 16, 16), mesh=mesh)
