@@ -123,6 +123,42 @@ def bench_mgcg(n: int, dtype, rtol: float) -> dict:
             "mgcg_rel_residual": rel, "mgcg_converged": bool(res.converged)}
 
 
+def bench_tridiag(n: int, dtype) -> dict:
+    """Batched periodic tridiagonal solve (the compact-scheme inner kernel):
+    Pallas Thomas vs the 2-full-pass bandwidth bound."""
+    import jax.numpy as jnp
+
+    from poissbox_tpu.ops.tridiag import TridiagFactor
+    from poissbox_tpu.ops.tridiag_pallas import PallasTridiagFactor
+    from poissbox_tpu.utils.profiling import kernel_time
+
+    a = jnp.full((n,), 9.0 / 62.0, dtype)
+    b = jnp.ones((n,), dtype)
+    c = jnp.full((n,), 9.0 / 62.0, dtype)
+    u = jax.random.uniform(jax.random.PRNGKey(2), (n, n, n), dtype)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu:
+        fac = PallasTridiagFactor(a, b, c, periodic=True)
+    else:
+        fac = TridiagFactor(a, b, c, periodic=True, method="pscan")
+    t = kernel_time(lambda v: fac.solve(v, axis=0), u, lo=10, hi=40)
+    eff = 2 * u.size * u.dtype.itemsize / t / 1e9
+    return {"tridiag_ms": t * 1e3, "tridiag_eff_gbps": eff,
+            "tridiag_bw_frac": eff / _hbm_gbps()}
+
+
+def bench_compact(n: int, dtype) -> dict:
+    """6th-order compact Laplacian (18 batched line solves + transposes)."""
+    from poissbox_tpu.ops import compact
+    from poissbox_tpu.utils.profiling import kernel_time
+
+    u = jax.random.uniform(jax.random.PRNGKey(3), (n, n, n), dtype)
+    deltas = (1.0 / n,) * 3
+    t = kernel_time(lambda v: compact.lapl(v, deltas), u, lo=2, hi=8)
+    return {"compact_lapl_ms": t * 1e3,
+            "compact_lapl_gdofs": n**3 / t / 1e9}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=256)
@@ -144,6 +180,10 @@ def main() -> int:
     print(f"stencil: {st}", file=sys.stderr)
     mg = bench_mgcg(n, dtype, args.rtol)
     print(f"mgcg: {mg}", file=sys.stderr)
+    td = bench_tridiag(n, dtype)
+    print(f"tridiag: {td}", file=sys.stderr)
+    cp = bench_compact(n, dtype)
+    print(f"compact: {cp}", file=sys.stderr)
 
     record = {
         "metric": f"stencil_gdofs_{n}",
@@ -151,7 +191,7 @@ def main() -> int:
         "unit": "GDoF/s",
         "vs_baseline": round(st["stencil_roofline_frac"], 4),
         **{k: (float(f"{v:.6g}") if isinstance(v, float) else v)
-           for k, v in {**st, **mg, **info}.items()},
+           for k, v in {**st, **mg, **td, **cp, **info}.items()},
     }
     print(json.dumps(record))
     return 0
