@@ -29,6 +29,7 @@ static Python list, so jit unrolls the cycle into one fused program.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Optional, Sequence
 
 import jax
@@ -53,6 +54,7 @@ class MGConfig:
     coarse_size: int = 4          # stop coarsening at min(n) <= coarse_size
     cycles: int = 1               # V-cycles per preconditioner application
     impl: str = "auto"            # level-operator impl: auto | roll | pallas
+    transfers: str = "auto"       # restriction/prolongation: auto | roll | matmul
 
 
 @dataclasses.dataclass(frozen=True)
@@ -136,6 +138,52 @@ def prolong(c: Array) -> Array:
         c = jnp.stack([even, odd], axis=ax + 1)
         c = c.reshape(c.shape[:ax] + (c.shape[ax] * 2,) + c.shape[ax + 2:])
     return c
+
+
+# -- MXU formulation: transfers as banded-matrix contractions ---------------
+
+@functools.lru_cache(maxsize=None)
+def _restrict_matrix(n: int, dtype_name: str):
+    """1-D full-weighting restriction as a dense (n/2, n) banded matrix.
+    P = 2 R^T (the variational pair). Cached per (n, dtype)."""
+    import jax
+
+    with jax.ensure_compile_time_eval():
+        R = np.zeros((n // 2, n))
+        for I in range(n // 2):
+            R[I, (2 * I - 1) % n] += 1.0 / 8.0
+            R[I, 2 * I] += 3.0 / 8.0
+            R[I, (2 * I + 1) % n] += 3.0 / 8.0
+            R[I, (2 * I + 2) % n] += 1.0 / 8.0
+        return jnp.asarray(R, jnp.dtype(dtype_name))
+
+
+def restrict_mm(f: Array) -> Array:
+    """restrict() evaluated as three MXU contractions — one banded matmul
+    per axis, each a single fused memory pass (vs the roll formulation's
+    many). f32 inputs use HIGHEST precision so the 4-tap sums stay exact."""
+    import jax
+
+    prec = jax.lax.Precision.HIGHEST
+    out = f
+    for ax in range(3):
+        R = _restrict_matrix(f.shape[ax], jnp.dtype(f.dtype).name)
+        out = jnp.moveaxis(
+            jnp.tensordot(R, out, axes=(1, ax), precision=prec), 0, ax)
+    return out
+
+
+def prolong_mm(c: Array) -> Array:
+    """prolong() as three MXU contractions with P = 2 R^T."""
+    import jax
+
+    prec = jax.lax.Precision.HIGHEST
+    out = c
+    for ax in range(3):
+        R = _restrict_matrix(2 * c.shape[ax], jnp.dtype(c.dtype).name)
+        out = jnp.moveaxis(
+            jnp.tensordot(2.0 * R.T, out, axes=(1, ax), precision=prec), 0, ax)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -243,8 +291,12 @@ def v_cycle(levels: Sequence[_Level], coarse_pinv: Array, cfg: MGConfig,
         return (coarse_pinv @ flat).reshape(lvl.shape)
     x = _smooth(jnp.zeros_like(b), b, lvl, cfg, cfg.pre_smooth, reverse=False)
     r = _residual(x, b, lvl, cfg)
-    ec = v_cycle(levels, coarse_pinv, cfg, restrict(r), idx + 1)
-    x = x + prolong(ec)
+    tr = cfg.transfers
+    if tr == "auto":
+        tr = "matmul" if jax.devices()[0].platform == "tpu" else "roll"
+    down, up = (restrict_mm, prolong_mm) if tr == "matmul" else (restrict, prolong)
+    ec = v_cycle(levels, coarse_pinv, cfg, down(r), idx + 1)
+    x = x + up(ec)
     return _smooth(x, b, lvl, cfg, cfg.post_smooth, reverse=True)
 
 

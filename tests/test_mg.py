@@ -47,6 +47,37 @@ class TestTransfers:
         c = jax.random.uniform(key, (4, 4, 4), jnp.float64)
         assert abs(float(jnp.mean(prolong(c)) - jnp.mean(c))) < 1e-14
 
+    def test_matmul_transfers_match_rolls(self):
+        # the MXU banded-matrix formulation must equal the roll formulation
+        from poissbox_tpu.solvers.mg import prolong_mm, restrict_mm
+        key = jax.random.PRNGKey(21)
+        f = jax.random.normal(key, (16, 16, 16), jnp.float64)
+        np.testing.assert_allclose(np.asarray(restrict_mm(f)),
+                                   np.asarray(restrict(f)),
+                                   rtol=1e-14, atol=1e-14)
+        c = restrict(f)
+        np.testing.assert_allclose(np.asarray(prolong_mm(c)),
+                                   np.asarray(prolong(c)),
+                                   rtol=1e-14, atol=1e-14)
+
+    def test_matmul_vcycle_symmetric_and_converges(self):
+        from poissbox_tpu.mesh import Grid3D
+        from poissbox_tpu.ops.stencil import make_laplacian_operator
+        from poissbox_tpu.solvers import cg as cg_mod
+        grid = Grid3D((16, 16, 16))
+        A = make_laplacian_operator(grid)
+        M = make_mg_preconditioner(grid.n, grid.deltas,
+                                   MGConfig(transfers="matmul"))
+        k1, k2 = jax.random.split(jax.random.PRNGKey(22))
+        r1 = jax.random.normal(k1, grid.n, jnp.float64)
+        r2 = jax.random.normal(k2, grid.n, jnp.float64)
+        lhs = float(jnp.sum(M(r1) * r2))
+        rhs = float(jnp.sum(r1 * M(r2)))
+        assert abs(lhs - rhs) < 1e-9 * max(1.0, abs(lhs))
+        u = A.project(jax.random.normal(k1, grid.n, jnp.float64))
+        res = cg_mod(A, A(u), M=M, rtol=1e-8, max_it=50)
+        assert bool(res.converged) and int(res.iterations) <= 12
+
     def test_prolong_restrict_adjoint(self):
         # <P c, f>_fine = 8 <c, R f>_coarse for these cell-centered
         # transfers (R = P^T / 8): the Galerkin-compatibility condition.
