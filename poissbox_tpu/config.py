@@ -119,6 +119,9 @@ class SolverOptions:
     mg_levels_ksp_rtol: float = 1.0e-4
     mg_levels_damping: float = 1.0  # richardson damping / jacobi weight
     mg_coarse_pc_type: str = "svd"  # svd | direct
+    mg_transfers: str = "auto"      # auto | roll | matmul (MXU contraction)
+    mg_impl: str = "auto"           # auto | roll | pallas level operators
+    mg_cycles: int = 1              # V-cycles per preconditioner application
     gmres_restart: int = 30
 
     @classmethod

@@ -57,6 +57,16 @@ def run(opts: Options) -> float:
     assert sum(counts) == grid.ndof, (counts, grid.ndof)
     print(f"DoF distribution over {len(counts)} device(s): {counts} (sum ok)")
 
+    # check_linear_system analogue: per-device owned boxes tile the domain
+    # (reference src/example.f90:118-152)
+    if grid.mesh is not None:
+        from poissbox_tpu.parallel.decomp import owned_boxes
+        pgrid = tuple(grid.mesh.shape[name] for name in grid.axis_names)
+        boxes = owned_boxes(grid.n, pgrid)
+        covered = sum(xn * yn * zn for (_, (xn, yn, zn)) in boxes.values())
+        assert covered == grid.ndof
+        print(f"ownership: process grid {pgrid}, {len(boxes)} boxes tile the domain (sum ok)")
+
     # -- operator + fields (reference example.f90:58-72) -------------------
     A = make_laplacian_operator(grid)
     key = jax.random.PRNGKey(opts.get_int("seed", 2026))

@@ -53,6 +53,9 @@ def make_preconditioner(
             damping=None if opts.mg_levels_damping == 1.0
             and opts.mg_levels_pc_type == "jacobi" else opts.mg_levels_damping,
             coarse=opts.mg_coarse_pc_type,
+            transfers=opts.mg_transfers,
+            impl=opts.mg_impl,
+            cycles=opts.mg_cycles,
         )
         return make_mg_preconditioner(shape, deltas, cfg, dtype)
     raise ValueError(f"unknown pc_type {opts.pc_type!r} (expected none|jacobi|mg)")
