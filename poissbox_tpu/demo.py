@@ -38,7 +38,8 @@ from poissbox_tpu.solvers.ksp import solve
 
 
 def run(opts: Options) -> float:
-    """Run the demo; returns the final true residual norm."""
+    """Run the demo; returns the final relative true residual
+    ||Ax - b|| / ||b||."""
     n = opts.get_int("n", 64)
     use_x64 = opts.get_bool("x64", jax.config.jax_enable_x64)
     if use_x64 and not jax.config.jax_enable_x64:
@@ -103,7 +104,7 @@ def run(opts: Options) -> float:
           f"({sopts.ksp_type}+{sopts.pc_type})")
     print(f"verification: ||Ax - b||_2 = {true_res:.6e} "
           f"(relative {true_res / b_norm:.3e}), ||x - x_exact||_2 = {err:.3e}")
-    return true_res
+    return true_res / b_norm
 
 
 def main(argv=None) -> int:

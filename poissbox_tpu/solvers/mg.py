@@ -15,8 +15,11 @@ equivalent is *geometric* multigrid:
     Jacobi, both expressed as masked stencil updates that XLA fuses; the
     post-smoother runs colors in reverse (black-red) so one V-cycle is a
     symmetric operator, as CG preconditioning requires;
-  * transfers: cell-centered 8-cell-average restriction and trilinear
-    prolongation, built from reshapes/rolls that GSPMD partitions;
+  * transfers: cell-centered full-weighting restriction and trilinear
+    prolongation (the variational pair P = 2 R^T), in two cross-checked
+    formulations: reshapes/rolls that GSPMD partitions ('roll'), and
+    per-axis banded-matrix contractions on the MXU ('matmul', ~2.5x
+    faster on TPU — the default there);
   * coarse solve: dense pseudo-inverse of the assembled coarse Laplacian via
     SVD with the zero singular value (constant null space) truncated —
     exactly the `-mg_coarse_sub_pc_type svd` semantics; computed once at
