@@ -123,36 +123,54 @@ def _apply_compact(f: Array, coeffs: CompactCoeffs, stagger: int, axis: int,
 # 1-D operators (batched along all other axes)
 # ---------------------------------------------------------------------------
 
-def grad_1d(f: Array, dx: float, stagger: int = -1, axis: int = -1) -> Array:
+def grad_1d(f: Array, dx: float, stagger: int = -1, axis: int = -1,
+            method: str = "auto") -> Array:
     """6th-order staggered first derivative along `axis`
     (reference src/compact_schemes.f90:155-204). Default stagger -1:
     cell-centered input, vertex-located derivative."""
-    return _apply_compact(f, compact_grad_coeffs(dx), stagger, axis)
+    return _apply_compact(f, compact_grad_coeffs(dx), stagger, axis, method)
 
 
-def div_1d(f: Array, dx: float, axis: int = -1) -> Array:
+def div_1d(f: Array, dx: float, axis: int = -1, method: str = "auto") -> Array:
     """grad_1d with forward stagger (vertices->cells),
     reference src/compact_schemes.f90:260-268."""
-    return grad_1d(f, dx, stagger=+1, axis=axis)
+    return grad_1d(f, dx, stagger=+1, axis=axis, method=method)
 
 
-def interp_1d(f: Array, stagger: int = -1, axis: int = -1) -> Array:
+def interp_1d(f: Array, stagger: int = -1, axis: int = -1,
+              method: str = "auto") -> Array:
     """6th-order staggered midpoint interpolation along `axis`
     (reference src/compact_schemes.f90:271-319)."""
-    return _apply_compact(f, compact_interp_coeffs(), stagger, axis)
+    return _apply_compact(f, compact_interp_coeffs(), stagger, axis, method)
 
 
-def interp_1d_div(f: Array, axis: int = -1) -> Array:
+def interp_1d_div(f: Array, axis: int = -1, method: str = "auto") -> Array:
     """interp_1d with forward stagger (vertices->cells),
     reference src/compact_schemes.f90:322-329."""
-    return interp_1d(f, stagger=+1, axis=axis)
+    return interp_1d(f, stagger=+1, axis=axis, method=method)
 
 
 # ---------------------------------------------------------------------------
 # 3-D operators
 # ---------------------------------------------------------------------------
+#
+# Layout-cycled evaluation: on TPU the Pallas Thomas kernel solves along
+# axis 0, so each sweep runs in the layout that makes its axis major, and
+# the layouts cycle (a,b,c) -> (c,a,b) so one transpose feeds each sweep
+# and the final sweep lands directly in the output layout — 6 transposes
+# per 3-D operator instead of the 10 implied by per-op axis moves.
 
-def grad(f: Array, deltas: Sequence[float]) -> Array:
+def _cyc(v: Array) -> Array:
+    """(a, b, c) -> (c, a, b): bring the next sweep axis to the front."""
+    return jnp.moveaxis(v, 2, 0)
+
+
+def _use_layout_cycling(method: str) -> bool:
+    return (method == "pallas"
+            or (method == "auto" and _default_method() == "pallas"))
+
+
+def grad(f: Array, deltas: Sequence[float], method: str = "auto") -> Array:
     """Staggered gradient tensor of a cell-centered field: (nx, ny, nz, 3).
 
     Z->Y->X sweeps (cell->face->edge->vertex), interpolating the
@@ -160,54 +178,87 @@ def grad(f: Array, deltas: Sequence[float]) -> Array:
     src/compact_schemes.f90:42-88).
     """
     dx, dy, dz = deltas
+    if _use_layout_cycling(method) and f.ndim == 3:
+        fz = _cyc(f)                                   # (z, x, y)
+        fz_i = interp_1d(fz, axis=0, method=method)
+        fz_d = grad_1d(fz, dz, axis=0, method=method)
+        yi, yd = _cyc(fz_i), _cyc(fz_d)                # (y, z, x)
+        c1 = interp_1d(yi, axis=0, method=method)
+        c2 = grad_1d(yi, dy, axis=0, method=method)
+        c3 = interp_1d(yd, axis=0, method=method)
+        x1, x2, x3 = _cyc(c1), _cyc(c2), _cyc(c3)      # (x, y, z)
+        g1 = grad_1d(x1, dx, axis=0, method=method)
+        g2 = interp_1d(x2, axis=0, method=method)
+        g3 = interp_1d(x3, axis=0, method=method)
+        return jnp.stack([g1, g2, g3], axis=-1)
     # Z sweep: components 1 and 2 get interpolated (shared), 3 differenced.
-    fz_i = interp_1d(f, axis=2)
-    fz_d = grad_1d(f, dz, axis=2)
+    fz_i = interp_1d(f, axis=2, method=method)
+    fz_d = grad_1d(f, dz, axis=2, method=method)
     # Y sweep.
-    c1 = interp_1d(fz_i, axis=1)
-    c2 = grad_1d(fz_i, dy, axis=1)
-    c3 = interp_1d(fz_d, axis=1)
+    c1 = interp_1d(fz_i, axis=1, method=method)
+    c2 = grad_1d(fz_i, dy, axis=1, method=method)
+    c3 = interp_1d(fz_d, axis=1, method=method)
     # X sweep.
-    g1 = grad_1d(c1, dx, axis=0)
-    g2 = interp_1d(c2, axis=0)
-    g3 = interp_1d(c3, axis=0)
+    g1 = grad_1d(c1, dx, axis=0, method=method)
+    g2 = interp_1d(c2, axis=0, method=method)
+    g3 = interp_1d(c3, axis=0, method=method)
     return jnp.stack([g1, g2, g3], axis=-1)
 
 
-def div(F: Array, deltas: Sequence[float]) -> Array:
+def div(F: Array, deltas: Sequence[float], method: str = "auto") -> Array:
     """Divergence of a vertex-located vector field (nx, ny, nz, 3) -> cells.
 
     X->Y->Z sweeps (vertex->edge->face->cell), differencing one component per
     sweep and interpolating the rest (reference src/compact_schemes.f90:207-257).
     """
     dx, dy, dz = deltas
+    if _use_layout_cycling(method) and F.ndim == 4:
+        # X sweep in the natural (x, y, z) layout.
+        e1 = div_1d(F[..., 0], dx, axis=0, method=method)
+        e2 = interp_1d_div(F[..., 1], axis=0, method=method)
+        e3 = interp_1d_div(F[..., 2], axis=0, method=method)
+        # Y sweep in (y, x, z).
+        y1, y2, y3 = (jnp.moveaxis(e, 1, 0) for e in (e1, e2, e3))
+        f1 = interp_1d_div(y1, axis=0, method=method)
+        f2 = div_1d(y2, dy, axis=0, method=method)
+        f3 = interp_1d_div(y3, axis=0, method=method)
+        # Z sweep in (z, y, x); result transposed back to (x, y, z).
+        z12, z3 = _cyc(f1 + f2), _cyc(f3)
+        out = interp_1d_div(z12, axis=0, method=method) \
+            + div_1d(z3, dz, axis=0, method=method)
+        return jnp.transpose(out, (2, 1, 0))
     # X sweep (vertex->edge).
-    e1 = div_1d(F[..., 0], dx, axis=0)
-    e2 = interp_1d_div(F[..., 1], axis=0)
-    e3 = interp_1d_div(F[..., 2], axis=0)
+    e1 = div_1d(F[..., 0], dx, axis=0, method=method)
+    e2 = interp_1d_div(F[..., 1], axis=0, method=method)
+    e3 = interp_1d_div(F[..., 2], axis=0, method=method)
     # Y sweep (edge->face).
-    f1 = interp_1d_div(e1, axis=1)
-    f2 = div_1d(e2, dy, axis=1)
-    f3 = interp_1d_div(e3, axis=1)
+    f1 = interp_1d_div(e1, axis=1, method=method)
+    f2 = div_1d(e2, dy, axis=1, method=method)
+    f3 = interp_1d_div(e3, axis=1, method=method)
     # Z sweep (face->cell): components 1+2 interpolated together, 3 differenced.
-    return interp_1d_div(f1 + f2, axis=2) + div_1d(f3, dz, axis=2)
+    return interp_1d_div(f1 + f2, axis=2, method=method) \
+        + div_1d(f3, dz, axis=2, method=method)
 
 
-def interp(f: Array, stagger: int = -1) -> Array:
+def interp(f: Array, stagger: int = -1, method: str = "auto") -> Array:
     """Tri-directional interpolation, Z->Y->X (reference
     src/compact_schemes.f90:93-142)."""
-    out = interp_1d(f, stagger=stagger, axis=2)
-    out = interp_1d(out, stagger=stagger, axis=1)
-    return interp_1d(out, stagger=stagger, axis=0)
+    if _use_layout_cycling(method) and f.ndim == 3:
+        out = interp_1d(_cyc(f), stagger=stagger, axis=0, method=method)
+        out = interp_1d(_cyc(out), stagger=stagger, axis=0, method=method)
+        return interp_1d(_cyc(out), stagger=stagger, axis=0, method=method)
+    out = interp_1d(f, stagger=stagger, axis=2, method=method)
+    out = interp_1d(out, stagger=stagger, axis=1, method=method)
+    return interp_1d(out, stagger=stagger, axis=0, method=method)
 
 
-def interp_div(f: Array) -> Array:
+def interp_div(f: Array, method: str = "auto") -> Array:
     """interp with forward (vertex->cell) staggering (reference
     src/compact_schemes.f90:144-152)."""
-    return interp(f, stagger=+1)
+    return interp(f, stagger=+1, method=method)
 
 
-def lapl(f: Array, deltas: Sequence[float]) -> Array:
+def lapl(f: Array, deltas: Sequence[float], method: str = "auto") -> Array:
     """6th-order compact Laplacian: div(grad(f)) via staggered
     cell->vertex->cell evaluation (reference src/compact_schemes.f90:17-37)."""
-    return div(grad(f, deltas), deltas)
+    return div(grad(f, deltas, method), deltas, method)

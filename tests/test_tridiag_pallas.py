@@ -81,6 +81,27 @@ def test_factor_cache_safe_across_jits(method):
                                rtol=1e-13, atol=1e-13)
 
 
+def test_layout_cycled_3d_ops_match():
+    # the TPU layout-cycled grad/div/lapl (method='pallas') must equal the
+    # per-axis formulation (method='pscan')
+    from poissbox_tpu.ops import compact
+    n = 32
+    dx = 1.0 / n
+    d = (dx, dx, dx)
+    u = jax.random.uniform(jax.random.PRNGKey(4), (n, n, n), jnp.float64)
+    g_ref = compact.grad(u, d, method="pscan")
+    g_pal = compact.grad(u, d, method="pallas")
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               rtol=1e-12, atol=1e-12)
+    F = jax.random.uniform(jax.random.PRNGKey(5), (n, n, n, 3), jnp.float64)
+    np.testing.assert_allclose(np.asarray(compact.div(F, d, method="pallas")),
+                               np.asarray(compact.div(F, d, method="pscan")),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(compact.lapl(u, d, method="pallas")),
+                               np.asarray(compact.lapl(u, d, method="pscan")),
+                               rtol=1e-11, atol=1e-11)
+
+
 def test_compact_pallas_method_matches():
     from poissbox_tpu.ops.coefficients import compact_grad_coeffs
     import poissbox_tpu.ops.compact as C
