@@ -106,13 +106,18 @@ def _apply_compact(f: Array, coeffs: CompactCoeffs, stagger: int, axis: int,
     if method == "pallas" and f.size // n < 1024:
         method = "pscan"  # batch too small to feed the kernel's tiles
     if method == "pallas":
-        # evaluate the RHS in lines-major layout so the Pallas solve needs
-        # no second transpose
+        # lines-major layout; the RHS evaluation fuses into the Thomas
+        # kernel (2 HBM passes total) when the field is 3-D
         fm = f if axis % f.ndim == 0 else jnp.moveaxis(f, axis, 0)
-        rhs = compact_rhs(fm, coeffs.a, coeffs.b, coeffs.opsign, stagger, 0)
         fac = _toeplitz_factor(n, float(coeffs.alpha),
                                jnp.dtype(f.dtype).name, method)
-        out = fac.solve(rhs, axis=0)
+        if fm.ndim == 3:
+            shift = 0 if stagger == -1 else 1
+            out = fac.solve_compact(fm, coeffs.a, coeffs.b, coeffs.opsign,
+                                    shift, axis=0)
+        else:
+            rhs = compact_rhs(fm, coeffs.a, coeffs.b, coeffs.opsign, stagger, 0)
+            out = fac.solve(rhs, axis=0)
         return out if axis % f.ndim == 0 else jnp.moveaxis(out, 0, axis)
     rhs = compact_rhs(f, coeffs.a, coeffs.b, coeffs.opsign, stagger, axis)
     fac = _toeplitz_factor(n, float(coeffs.alpha), jnp.dtype(f.dtype).name, method)

@@ -35,21 +35,19 @@ from poissbox_tpu.ops.tridiag import _factor_1d
 Array = jax.Array
 
 
-def _thomas_kernel(w_ref, binv_ref, cb_ref, corr_ref, d_ref, out_ref):
-    """Forward elimination + back substitution on one (n, TY, TZ) block.
+def _sweeps_inplace(w_ref, binv_ref, cb_ref, corr_ref, out_ref, n):
+    """Thomas sweeps + periodic correction in place on out_ref (which must
+    already hold the RHS).
 
     SMEM scalars per row i: w[i] (elimination multiplier), binv[i] = 1/bmod[i],
     cb[i] = c[i]/bmod[i] (zeroed at i = n-1).
     corr_ref holds the periodic correction: corr[0] = alpha_ratio,
     corr[1] = 1/denom, corr[2 + i] = usol[i]; corr[1] = 0 disables it.
     """
-    n = d_ref.shape[0]
 
     # forward sweep: dmod_i = d_i - w_i * dmod_{i-1}
-    out_ref[0] = d_ref[0]
-
     def fwd(i, _):
-        out_ref[i] = d_ref[i] - w_ref[i] * out_ref[i - 1]
+        out_ref[i] = out_ref[i] - w_ref[i] * out_ref[i - 1]
         return 0
 
     jax.lax.fori_loop(1, n, fwd, 0)
@@ -76,13 +74,39 @@ def _thomas_kernel(w_ref, binv_ref, cb_ref, corr_ref, d_ref, out_ref):
         jax.lax.fori_loop(0, n, corr, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("ty", "tz"))
-def _solve_blocks(w, binv, cb, corr, d, ty: int, tz: int) -> Array:
+def _thomas_kernel(w_ref, binv_ref, cb_ref, corr_ref, d_ref, out_ref):
+    """Solve against a plain RHS block."""
+    n = d_ref.shape[0]
+    out_ref[:] = d_ref[:]
+    _sweeps_inplace(w_ref, binv_ref, cb_ref, corr_ref, out_ref, n)
+
+
+def _compact_thomas_kernel(w_ref, binv_ref, cb_ref, corr_ref, f_ref, out_ref,
+                           *, a, b, opsign, shift):
+    """Fused compact-scheme apply: evaluate the staggered RHS
+    (reference eval_1d_rhs, src/compact_schemes.f90:332-372) from the raw
+    field in VMEM — lines are axis 0 and fully block-resident, so the ±2
+    periodic shifts are free rolls — then run the Thomas sweeps in place.
+    HBM traffic: read f + write x, the 2-pass minimum (the unfused path
+    pays ~6 passes materializing the RHS)."""
+    n = f_ref.shape[0]
+    f = f_ref[:]
+    s = float(opsign)
+
+    def at(k: int):  # f_{i+k}, periodic along the line
+        return pltpu.roll(f, (-k) % n, 0)
+
+    out_ref[:] = (a * (at(shift) + s * at(shift - 1))
+                  + b * (at(shift + 1) + s * at(shift - 2)))
+    _sweeps_inplace(w_ref, binv_ref, cb_ref, corr_ref, out_ref, n)
+
+
+def _launch_tridiag(kernel, w, binv, cb, corr, d, ty: int, tz: int) -> Array:
     n, ny, nz = d.shape
     smem = lambda length: pl.BlockSpec(
         (length,), lambda j, k: (0,), memory_space=pltpu.SMEM)
     return pl.pallas_call(
-        _thomas_kernel,
+        kernel,
         out_shape=jax.ShapeDtypeStruct(d.shape, d.dtype),
         grid=(ny // ty, nz // tz),
         in_specs=[
@@ -97,6 +121,20 @@ def _solve_blocks(w, binv, cb, corr, d, ty: int, tz: int) -> Array:
             transcendentals=0),
         interpret=jax.default_backend() != "tpu",  # CPU tests
     )(w, binv, cb, corr, d)
+
+
+@functools.partial(jax.jit, static_argnames=("ty", "tz"))
+def _solve_blocks(w, binv, cb, corr, d, ty: int, tz: int) -> Array:
+    return _launch_tridiag(_thomas_kernel, w, binv, cb, corr, d, ty, tz)
+
+
+@functools.partial(jax.jit, static_argnames=("ty", "tz", "a", "b", "opsign",
+                                             "shift"))
+def _solve_compact_blocks(w, binv, cb, corr, f, ty: int, tz: int,
+                          a: float, b: float, opsign: int, shift: int) -> Array:
+    kernel = functools.partial(_compact_thomas_kernel, a=a, b=b,
+                               opsign=opsign, shift=shift)
+    return _launch_tridiag(kernel, w, binv, cb, corr, f, ty, tz)
 
 
 class PallasTridiagFactor:
@@ -141,7 +179,11 @@ class PallasTridiagFactor:
         """Largest (ty, tz) tile dividing (ny, nz) that keeps the
         double-buffered in+out blocks under the VMEM budget. Measured
         optimum at 256^3 f32 is (16, 256) — 63% of HBM bandwidth."""
-        budget = 12 * 1024 * 1024  # leave headroom in 16 MB VMEM
+        # (16, 256) at n = 256 compiles and is the measured optimum
+        # (0.26 ms, 63% BW); the nominal 4*blocks accounting slightly
+        # overestimates what Mosaic actually allocates, so the budget sits
+        # just above it. (32, 256) at n = 256 genuinely OOMs VMEM.
+        budget = 17 * 1024 * 1024
         tz = min(nz, 256)
         while nz % tz:
             tz //= 2
@@ -152,9 +194,9 @@ class PallasTridiagFactor:
             ty //= 2
         return max(ty, 1), max(tz, 1)
 
-    def solve(self, d: Array, axis: int = 0,
-              ty: Optional[int] = None, tz: Optional[int] = None) -> Array:
-        """Solve along `axis` of a 3-D (or 1-D/2-D, auto-expanded) RHS."""
+    def _run(self, d: Array, axis: int, ty, tz, block_call) -> Array:
+        """Shared layout plumbing: move `axis` to the front, batch-factor
+        into lane-friendly (ny, nz), run `block_call`, restore."""
         axis = axis % d.ndim
         orig_shape = d.shape
         moved = d.ndim != 3 or axis != 0
@@ -171,8 +213,7 @@ class PallasTridiagFactor:
         n, ny, nz = d.shape
         ty_, tz_ = (ty, tz) if ty and tz else self._tiles(ny, nz,
                                                           d.dtype.itemsize)
-        x = _solve_blocks(self.w, self.binv, self.cb, self.corr,
-                          d.astype(self.dtype), ty_, tz_)
+        x = block_call(d.astype(self.dtype), ty_, tz_)
         if moved:
             flat = 1
             for i, s in enumerate(orig_shape):
@@ -183,3 +224,30 @@ class PallasTridiagFactor:
                 s for i, s in enumerate(orig_shape) if i != axis))
             x = jnp.moveaxis(x, 0, axis)
         return x
+
+    def solve(self, d: Array, axis: int = 0,
+              ty: Optional[int] = None, tz: Optional[int] = None) -> Array:
+        """Solve along `axis` of a 3-D (or 1-D/2-D, auto-expanded) RHS."""
+        return self._run(
+            d, axis, ty, tz,
+            lambda d3, ty_, tz_: _solve_blocks(
+                self.w, self.binv, self.cb, self.corr, d3, ty_, tz_))
+
+    def solve_compact(self, f: Array, a: float, b: float, opsign: int,
+                      shift: int, axis: int = 0,
+                      ty: Optional[int] = None, tz: Optional[int] = None) -> Array:
+        """Fused compact-scheme application: staggered-RHS evaluation + solve
+        in one kernel pass over the raw field.
+
+        NOTE: valid only when `axis` lines are contiguous in the kernel
+        block, i.e. the field is 3-D with axis == 0, or 1-D — the periodic
+        RHS shifts happen along axis 0 of the block. Other layouts must use
+        the unfused path (RHS built in XLA, then .solve)."""
+        if f.ndim == 3 and axis % 3 == 0:
+            return self._run(
+                f, 0, ty, tz,
+                lambda f3, ty_, tz_: _solve_compact_blocks(
+                    self.w, self.binv, self.cb, self.corr, f3, ty_, tz_,
+                    float(a), float(b), int(opsign), int(shift)))
+        raise ValueError("solve_compact requires a 3-D field with axis=0; "
+                         "move the axis first or use the unfused path")
