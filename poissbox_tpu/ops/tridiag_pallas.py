@@ -35,23 +35,15 @@ from poissbox_tpu.ops.tridiag import _factor_1d
 Array = jax.Array
 
 
-def _sweeps_inplace(w_ref, binv_ref, cb_ref, corr_ref, out_ref, n):
-    """Thomas sweeps + periodic correction in place on out_ref (which must
-    already hold the RHS).
+def _bwd_and_corr(binv_ref, cb_ref, corr_ref, out_ref, n):
+    """Back substitution + periodic correction in place on out_ref (which
+    must hold the forward-eliminated RHS).
 
-    SMEM scalars per row i: w[i] (elimination multiplier), binv[i] = 1/bmod[i],
-    cb[i] = c[i]/bmod[i] (zeroed at i = n-1).
-    corr_ref holds the periodic correction: corr[0] = alpha_ratio,
-    corr[1] = 1/denom, corr[2 + i] = usol[i]; corr[1] = 0 disables it.
+    SMEM scalars per row i: binv[i] = 1/bmod[i], cb[i] = c[i]/bmod[i]
+    (zeroed at i = n-1). corr_ref holds the periodic correction:
+    corr[0] = alpha_ratio, corr[1] = 1/denom, corr[2 + i] = usol[i];
+    corr[1] = 0 disables it.
     """
-
-    # forward sweep: dmod_i = d_i - w_i * dmod_{i-1}
-    def fwd(i, _):
-        out_ref[i] = out_ref[i] - w_ref[i] * out_ref[i - 1]
-        return 0
-
-    jax.lax.fori_loop(1, n, fwd, 0)
-
     # backward sweep: x_i = binv_i * dmod_i - cb_i * x_{i+1}
     out_ref[n - 1] = out_ref[n - 1] * binv_ref[n - 1]
 
@@ -77,28 +69,43 @@ def _sweeps_inplace(w_ref, binv_ref, cb_ref, corr_ref, out_ref, n):
 def _thomas_kernel(w_ref, binv_ref, cb_ref, corr_ref, d_ref, out_ref):
     """Solve against a plain RHS block."""
     n = d_ref.shape[0]
-    out_ref[:] = d_ref[:]
-    _sweeps_inplace(w_ref, binv_ref, cb_ref, corr_ref, out_ref, n)
+    out_ref[0] = d_ref[0]
+
+    # forward sweep: dmod_i = d_i - w_i * dmod_{i-1}
+    def fwd(i, _):
+        out_ref[i] = d_ref[i] - w_ref[i] * out_ref[i - 1]
+        return 0
+
+    jax.lax.fori_loop(1, n, fwd, 0)
+    _bwd_and_corr(binv_ref, cb_ref, corr_ref, out_ref, n)
 
 
 def _compact_thomas_kernel(w_ref, binv_ref, cb_ref, corr_ref, f_ref, out_ref,
                            *, a, b, opsign, shift):
-    """Fused compact-scheme apply: evaluate the staggered RHS
-    (reference eval_1d_rhs, src/compact_schemes.f90:332-372) from the raw
-    field in VMEM — lines are axis 0 and fully block-resident, so the ±2
-    periodic shifts are free rolls — then run the Thomas sweeps in place.
-    HBM traffic: read f + write x, the 2-pass minimum (the unfused path
-    pays ~6 passes materializing the RHS)."""
+    """Fused compact-scheme apply: the staggered RHS
+    (reference eval_1d_rhs, src/compact_schemes.f90:332-372) is evaluated
+    plane-at-a-time *inside* the forward sweep — lines are axis 0 and fully
+    block-resident, so rhs_i reads its four periodic taps directly from the
+    field block with no materialized shift copies (whole-block rolls would
+    blow the VMEM budget). HBM traffic: read f + write x, the 2-pass
+    minimum (the unfused path pays ~6 passes materializing the RHS)."""
     n = f_ref.shape[0]
-    f = f_ref[:]
     s = float(opsign)
 
-    def at(k: int):  # f_{i+k}, periodic along the line
-        return pltpu.roll(f, (-k) % n, 0)
+    def rhs_at(i):
+        return (a * (f_ref[(i + shift) % n] + s * f_ref[(i + shift - 1) % n])
+                + b * (f_ref[(i + shift + 1) % n]
+                       + s * f_ref[(i + shift - 2) % n]))
 
-    out_ref[:] = (a * (at(shift) + s * at(shift - 1))
-                  + b * (at(shift + 1) + s * at(shift - 2)))
-    _sweeps_inplace(w_ref, binv_ref, cb_ref, corr_ref, out_ref, n)
+    out_ref[0] = rhs_at(0)
+
+    # forward sweep fused with RHS evaluation
+    def fwd(i, _):
+        out_ref[i] = rhs_at(i) - w_ref[i] * out_ref[i - 1]
+        return 0
+
+    jax.lax.fori_loop(1, n, fwd, 0)
+    _bwd_and_corr(binv_ref, cb_ref, corr_ref, out_ref, n)
 
 
 def _launch_tridiag(kernel, w, binv, cb, corr, d, ty: int, tz: int) -> Array:
