@@ -29,42 +29,41 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _star(prev_ref, cur_ref, next_ref, invs):
-    """Evaluate the 7-point star on a halo-extended slab."""
+def _star_into(out_ref, prev_ref, cur_ref, next_ref, invs):
+    """Accumulate the 7-point star into out_ref, one neighbor pair per
+    statement so Mosaic can retire each shifted temporary before the next —
+    peak VMEM stays ~(slab + 2 temps) instead of 7 simultaneous copies
+    (which blows the budget at 512^2 plane sizes)."""
     ivx, ivy, ivz = invs
     c = cur_ref[:]
     # x-neighbors: shift within the slab, boundary planes from the
     # periodic neighbor blocks
-    xm = jnp.concatenate([prev_ref[:], c[:-1]], axis=0)
-    xp = jnp.concatenate([c[1:], next_ref[:]], axis=0)
+    out_ref[:] = (jnp.concatenate([prev_ref[:], c[:-1]], axis=0)
+                  + jnp.concatenate([c[1:], next_ref[:]], axis=0)) * ivx
     # y/z-neighbors: block covers the full axis, so a circular roll is the
-    # periodic boundary condition itself
-    ym = pltpu.roll(c, 1, 1)
-    yp = pltpu.roll(c, c.shape[1] - 1, 1)  # pltpu.roll wants shift >= 0
-    zm = pltpu.roll(c, 1, 2)
-    zp = pltpu.roll(c, c.shape[2] - 1, 2)
-    return (
-        (xm + xp) * ivx
-        + (ym + yp) * ivy
-        + (zm + zp) * ivz
-        - (2.0 * (ivx + ivy + ivz)) * c
-    )
+    # periodic boundary condition itself (pltpu.roll wants shift >= 0)
+    out_ref[:] = out_ref[:] + (
+        pltpu.roll(c, 1, 1) + pltpu.roll(c, c.shape[1] - 1, 1)) * ivy
+    out_ref[:] = out_ref[:] + (
+        pltpu.roll(c, 1, 2) + pltpu.roll(c, c.shape[2] - 1, 2)) * ivz
+    out_ref[:] = out_ref[:] - (2.0 * (ivx + ivy + ivz)) * c
 
 
 def _lapl_kernel(prev_ref, cur_ref, next_ref, out_ref, *, invs):
-    out_ref[:] = _star(prev_ref, cur_ref, next_ref, invs)
+    _star_into(out_ref, prev_ref, cur_ref, next_ref, invs)
 
 
 def _residual_kernel(prev_ref, cur_ref, next_ref, b_ref, out_ref, *, invs):
     """out = b - A x, one fused pass."""
-    out_ref[:] = b_ref[:] - _star(prev_ref, cur_ref, next_ref, invs)
+    _star_into(out_ref, prev_ref, cur_ref, next_ref, invs)
+    out_ref[:] = b_ref[:] - out_ref[:]
 
 
 def _jacobi_kernel(prev_ref, cur_ref, next_ref, b_ref, out_ref, *,
                    invs, winv_diag):
     """Damped Jacobi sweep: out = x + (w/diag) * (b - A x), fused."""
-    r = b_ref[:] - _star(prev_ref, cur_ref, next_ref, invs)
-    out_ref[:] = cur_ref[:] + winv_diag * r
+    _star_into(out_ref, prev_ref, cur_ref, next_ref, invs)
+    out_ref[:] = cur_ref[:] + winv_diag * (b_ref[:] - out_ref[:])
 
 
 def _sor_kernel(prev_ref, cur_ref, next_ref, b_ref, out_ref, *,
@@ -72,13 +71,14 @@ def _sor_kernel(prev_ref, cur_ref, next_ref, b_ref, out_ref, *,
     """One red-black SOR color update, fused: out = x + mask*(w/diag)*r
     with mask = [(i + j + k) % 2 == color], i global."""
     shape = cur_ref.shape
+    _star_into(out_ref, prev_ref, cur_ref, next_ref, invs)
+    out_ref[:] = winv_diag * (b_ref[:] - out_ref[:])
     i0 = pl.program_id(0) * tile_x
     ii = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + i0
     jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
     mask = ((ii + jj + kk) % 2) == color
-    r = b_ref[:] - _star(prev_ref, cur_ref, next_ref, invs)
-    out_ref[:] = cur_ref[:] + jnp.where(mask, winv_diag * r, 0.0)
+    out_ref[:] = cur_ref[:] + jnp.where(mask, out_ref[:], 0.0)
 
 
 def _launch(kernel, u: jax.Array, tile_x: int, extra=()):
