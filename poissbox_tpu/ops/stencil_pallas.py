@@ -37,9 +37,14 @@ def _star_into(out_ref, prev_ref, cur_ref, next_ref, invs):
     ivx, ivy, ivz = invs
     c = cur_ref[:]
     # x-neighbors: shift within the slab, boundary planes from the
-    # periodic neighbor blocks
-    out_ref[:] = (jnp.concatenate([prev_ref[:], c[:-1]], axis=0)
-                  + jnp.concatenate([c[1:], next_ref[:]], axis=0)) * ivx
+    # periodic neighbor blocks (single-plane slabs use the halos directly —
+    # zero-size concat operands are rejected by Mosaic)
+    if c.shape[0] > 1:
+        xm = jnp.concatenate([prev_ref[:], c[:-1]], axis=0)
+        xp = jnp.concatenate([c[1:], next_ref[:]], axis=0)
+    else:
+        xm, xp = prev_ref[:], next_ref[:]
+    out_ref[:] = (xm + xp) * ivx
     # y/z-neighbors: block covers the full axis, so a circular roll is the
     # periodic boundary condition itself (pltpu.roll wants shift >= 0)
     out_ref[:] = out_ref[:] + (
@@ -79,6 +84,47 @@ def _sor_kernel(prev_ref, cur_ref, next_ref, b_ref, out_ref, *,
     kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
     mask = ((ii + jj + kk) % 2) == color
     out_ref[:] = cur_ref[:] + jnp.where(mask, out_ref[:], 0.0)
+
+
+def _sor_rb_kernel(prev2_ref, cur_ref, next2_ref, bp_ref, b_ref, bn_ref,
+                   out_ref, *, invs, winv_diag, colors, tile_x):
+    """Both red-black colors in ONE pass via the wide-halo trick: the block
+    carries 2 x-halo planes per side, the first color is updated on the
+    extended region (T+2 planes, redundantly recomputing the halo planes
+    the neighbor block also owns), and the second color then has the
+    updated first-color values it needs entirely in VMEM. Traffic
+    ~(3T+6)/T planes vs 6T for two separate color kernels."""
+    ivx, ivy, ivz = invs
+    T = cur_ref.shape[0]
+    ny, nz = cur_ref.shape[1], cur_ref.shape[2]
+
+    def star(xe):
+        # xe: (m+2) planes -> star on the m interior planes
+        c = xe[1:-1]
+        s = (xe[:-2] + xe[2:]) * ivx
+        s = s + (pltpu.roll(c, 1, 1) + pltpu.roll(c, ny - 1, 1)) * ivy
+        s = s + (pltpu.roll(c, 1, 2) + pltpu.roll(c, nz - 1, 2)) * ivz
+        return s - (2.0 * (ivx + ivy + ivz)) * c
+
+    def parity_mask(nplanes, i_start):
+        ii = jax.lax.broadcasted_iota(jnp.int32, (nplanes, ny, nz), 0) + i_start
+        jj = jax.lax.broadcasted_iota(jnp.int32, (nplanes, ny, nz), 1)
+        kk = jax.lax.broadcasted_iota(jnp.int32, (nplanes, ny, nz), 2)
+        return (ii + jj + kk) % 2
+
+    i0 = pl.program_id(0) * tile_x
+    xe = jnp.concatenate([prev2_ref[:], cur_ref[:], next2_ref[:]], axis=0)
+    be = jnp.concatenate([bp_ref[:], b_ref[:], bn_ref[:]], axis=0)
+
+    # first color on the extended region: planes i0-1 .. i0+T (T+2 of them)
+    r1 = be - star(xe)
+    m1 = (parity_mask(T + 2, i0 - 1) == colors[0]).astype(xe.dtype)
+    x1 = xe[1:-1] + (winv_diag * m1) * r1
+
+    # second color on the interior T planes
+    r2 = b_ref[:] - star(x1)
+    m2 = (parity_mask(T, i0) == colors[1]).astype(xe.dtype)
+    out_ref[:] = x1[1:-1] + (winv_diag * m2) * r2
 
 
 def _launch(kernel, u: jax.Array, tile_x: int, extra=()):
@@ -127,6 +173,48 @@ def _jacobi(u, b, deltas, weight, tile_x):
 
 
 @functools.partial(jax.jit, static_argnames=("deltas", "tile_x", "weight",
+                                             "reverse"))
+def _sor_rb(u, b, deltas, weight, reverse, tile_x):
+    """One full red-black sweep (both colors) in a single kernel pass."""
+    nx, ny, nz = u.shape
+    invs = tuple(1.0 / float(d) ** 2 for d in deltas)
+    winv = weight / (-2.0 * sum(invs))
+    colors = (1, 0) if reverse else (0, 1)
+    kernel = functools.partial(_sor_rb_kernel, invs=invs, winv_diag=winv,
+                               colors=colors, tile_x=tile_x)
+    vm = pltpu.VMEM
+    half = tile_x // 2
+    nxb = nx // 2  # block-index space for 2-plane blocks
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
+        grid=(nx // tile_x,),
+        in_specs=[
+            # x, with two halo planes each side (2-plane block units)
+            pl.BlockSpec((2, ny, nz), lambda i: ((i * half - 1) % nxb, 0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((tile_x, ny, nz), lambda i: (i, 0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((2, ny, nz), lambda i: (((i + 1) * half) % nxb, 0, 0),
+                         memory_space=vm),
+            # b, with one halo plane each side
+            pl.BlockSpec((1, ny, nz), lambda i: ((i * tile_x - 1) % nx, 0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((tile_x, ny, nz), lambda i: (i, 0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((1, ny, nz), lambda i: ((i * tile_x + tile_x) % nx, 0, 0),
+                         memory_space=vm),
+        ],
+        out_specs=pl.BlockSpec((tile_x, ny, nz), lambda i: (i, 0, 0),
+                               memory_space=vm),
+        cost_estimate=pl.CostEstimate(
+            flops=20 * u.size, bytes_accessed=3 * u.size * u.dtype.itemsize,
+            transcendentals=0),
+        interpret=jax.default_backend() != "tpu",
+    )(u, u, u, b, b, b)
+
+
+@functools.partial(jax.jit, static_argnames=("deltas", "tile_x", "weight",
                                              "color"))
 def _sor(u, b, deltas, weight, color, tile_x):
     invs = tuple(1.0 / float(d) ** 2 for d in deltas)
@@ -141,8 +229,12 @@ def _pick_tile(u: jax.Array, tile_x: int) -> int:
     nx, ny, nz = u.shape
     while nx % tile_x:
         tile_x //= 2
-    # keep double-buffered in+out slabs within VMEM
-    while tile_x > 1 and 4 * tile_x * ny * nz * u.dtype.itemsize > 12 * 2**20:
+    # Empirical VMEM rule (Mosaic's real peak is dominated by the
+    # halo-extended input block plus its shifted temporaries, all double-
+    # buffered): (tile+2) planes must stay under ~3 MB. Anchors: 256^3 f32
+    # tile 8 fits / tile 16 OOMs; 512^3 tile 2 OOMs.
+    plane = ny * nz * u.dtype.itemsize
+    while tile_x > 1 and (tile_x + 2) * plane > 3 * 2**20:
         tile_x //= 2
     return max(tile_x, 1)
 
@@ -179,3 +271,19 @@ def sor_sweep_pallas(u: jax.Array, b: jax.Array, deltas: Sequence[float],
     """Fused red-black SOR color update (color 0 = red, (i+j+k) even)."""
     return _sor(u, b, tuple(float(d) for d in deltas), float(weight),
                 int(color), _pick_tile(u, tile_x))
+
+
+def sor_rb_sweep_pallas(u: jax.Array, b: jax.Array, deltas: Sequence[float],
+                        weight: float, reverse: bool = False,
+                        tile_x: int = 8) -> jax.Array:
+    """One complete red-black SOR sweep (both colors, reversed order when
+    `reverse`) as a single wide-halo kernel pass — ~half the HBM traffic of
+    two color updates. Requires an even slab tile; falls back to two color
+    kernels when the tile degenerates to 1 plane (large-plane grids)."""
+    t = _pick_tile(u, tile_x)
+    if t < 2 or u.shape[0] % t:
+        first, second = (1, 0) if reverse else (0, 1)
+        u = sor_sweep_pallas(u, b, deltas, weight, first, tile_x)
+        return sor_sweep_pallas(u, b, deltas, weight, second, tile_x)
+    return _sor_rb(u, b, tuple(float(d) for d in deltas), float(weight),
+                   bool(reverse), t)

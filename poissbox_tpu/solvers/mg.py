@@ -227,10 +227,9 @@ def _smooth(x: Array, b: Array, lvl: _Level, cfg: MGConfig, sweeps: int,
         w = 1.0 if cfg.damping is None else cfg.damping
         order = [1, 0] if reverse else [0, 1]  # color 0 = red, (i+j+k) even
         if pallas:
-            from poissbox_tpu.ops.stencil_pallas import sor_sweep_pallas
+            from poissbox_tpu.ops.stencil_pallas import sor_rb_sweep_pallas
             for _ in range(sweeps):
-                for color in order:
-                    x = sor_sweep_pallas(x, b, lvl.deltas, w, color)
+                x = sor_rb_sweep_pallas(x, b, lvl.deltas, w, reverse=reverse)
             return x
         red = _color_mask(lvl.shape, b.dtype)
         masks = {0: red, 1: 1.0 - red}

@@ -169,6 +169,21 @@ class TestPallasSmoothers:
         np.testing.assert_allclose(out["pallas"], out["roll"],
                                    rtol=1e-12, atol=1e-12)
 
+    @pytest.mark.parametrize("reverse", [False, True])
+    def test_rb_double_sweep_matches_two_colors(self, reverse):
+        from poissbox_tpu.ops.stencil_pallas import (
+            sor_rb_sweep_pallas, sor_sweep_pallas)
+        shape, d = (16, 16, 16), (1 / 16, 1 / 16, 1 / 16)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(13))
+        x = jax.random.normal(k1, shape, jnp.float64)
+        b = jax.random.normal(k2, shape, jnp.float64)
+        first, second = (1, 0) if reverse else (0, 1)
+        ref = sor_sweep_pallas(x, b, d, 1.0, first)
+        ref = sor_sweep_pallas(ref, b, d, 1.0, second)
+        got = sor_rb_sweep_pallas(x, b, d, 1.0, reverse=reverse)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-12, atol=1e-12)
+
     def test_fused_kernels_match_formulas(self):
         from poissbox_tpu.ops.stencil_pallas import (
             jacobi_sweep_pallas, residual_pallas, sor_sweep_pallas)
