@@ -16,13 +16,30 @@ on a multi-device mesh).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
 from poissbox_tpu.ops import compact
-from poissbox_tpu.parallel.pencil import from_pencil, to_pencil
+from poissbox_tpu.parallel.pencil import from_pencil, pencil_spec, to_pencil
 
 Array = jax.Array
+
+
+def _local_1d(fn, grid, local_dim: int):
+    """Run a line operator on each device's pencil block via shard_map.
+
+    After `to_pencil` the solve axis is unsharded, so the operator —
+    periodic RHS rolls plus the (Pallas, on TPU) tridiagonal solve — is
+    purely local to each shard; shard_map makes that explicit, which both
+    avoids any GSPMD re-gather and lets the per-device Pallas kernels run
+    on real multi-chip meshes (pallas_call cannot be auto-partitioned).
+    """
+    if grid.mesh is None:
+        return fn
+    spec = pencil_spec(grid, local_dim)
+    return jax.shard_map(fn, mesh=grid.mesh, in_specs=spec, out_specs=spec)
 
 
 def grad(f: Array, grid) -> Array:
@@ -31,19 +48,19 @@ def grad(f: Array, grid) -> Array:
     dx, dy, dz = grid.deltas
     # Z sweep (Z-pencils)
     fz = to_pencil(f, grid, 2)
-    fz_i = compact.interp_1d(fz, axis=2)
-    fz_d = compact.grad_1d(fz, dz, axis=2)
+    fz_i = _local_1d(lambda v: compact.interp_1d(v, axis=2), grid, 2)(fz)
+    fz_d = _local_1d(lambda v: compact.grad_1d(v, dz, axis=2), grid, 2)(fz)
     # Y sweep (Y-pencils)
     fz_i = to_pencil(fz_i, grid, 1)
     fz_d = to_pencil(fz_d, grid, 1)
-    c1 = compact.interp_1d(fz_i, axis=1)
-    c2 = compact.grad_1d(fz_i, dy, axis=1)
-    c3 = compact.interp_1d(fz_d, axis=1)
+    c1 = _local_1d(lambda v: compact.interp_1d(v, axis=1), grid, 1)(fz_i)
+    c2 = _local_1d(lambda v: compact.grad_1d(v, dy, axis=1), grid, 1)(fz_i)
+    c3 = _local_1d(lambda v: compact.interp_1d(v, axis=1), grid, 1)(fz_d)
     # X sweep (X-pencils)
     c1, c2, c3 = (to_pencil(c, grid, 0) for c in (c1, c2, c3))
-    g1 = compact.grad_1d(c1, dx, axis=0)
-    g2 = compact.interp_1d(c2, axis=0)
-    g3 = compact.interp_1d(c3, axis=0)
+    g1 = _local_1d(lambda v: compact.grad_1d(v, dx, axis=0), grid, 0)(c1)
+    g2 = _local_1d(lambda v: compact.interp_1d(v, axis=0), grid, 0)(c2)
+    g3 = _local_1d(lambda v: compact.interp_1d(v, axis=0), grid, 0)(c3)
     return jnp.stack([from_pencil(g, grid) for g in (g1, g2, g3)], axis=-1)
 
 
@@ -51,17 +68,22 @@ def div(F: Array, grid) -> Array:
     """Distributed divergence of a vertex-located (nx, ny, nz, 3) field."""
     dx, dy, dz = grid.deltas
     # X sweep (X-pencils)
-    e1 = compact.div_1d(to_pencil(F[..., 0], grid, 0), dx, axis=0)
-    e2 = compact.interp_1d_div(to_pencil(F[..., 1], grid, 0), axis=0)
-    e3 = compact.interp_1d_div(to_pencil(F[..., 2], grid, 0), axis=0)
+    dvx = _local_1d(lambda v: compact.div_1d(v, dx, axis=0), grid, 0)
+    itx = _local_1d(lambda v: compact.interp_1d_div(v, axis=0), grid, 0)
+    e1 = dvx(to_pencil(F[..., 0], grid, 0))
+    e2 = itx(to_pencil(F[..., 1], grid, 0))
+    e3 = itx(to_pencil(F[..., 2], grid, 0))
     # Y sweep (Y-pencils)
-    f1 = compact.interp_1d_div(to_pencil(e1, grid, 1), axis=1)
-    f2 = compact.div_1d(to_pencil(e2, grid, 1), dy, axis=1)
-    f3 = compact.interp_1d_div(to_pencil(e3, grid, 1), axis=1)
+    dvy = _local_1d(lambda v: compact.div_1d(v, dy, axis=1), grid, 1)
+    ity = _local_1d(lambda v: compact.interp_1d_div(v, axis=1), grid, 1)
+    f1 = ity(to_pencil(e1, grid, 1))
+    f2 = dvy(to_pencil(e2, grid, 1))
+    f3 = ity(to_pencil(e3, grid, 1))
     # Z sweep (Z-pencils)
+    dvz = _local_1d(lambda v: compact.div_1d(v, dz, axis=2), grid, 2)
+    itz = _local_1d(lambda v: compact.interp_1d_div(v, axis=2), grid, 2)
     s12 = to_pencil(f1 + f2, grid, 2)
-    f3 = to_pencil(f3, grid, 2)
-    out = compact.interp_1d_div(s12, axis=2) + compact.div_1d(f3, dz, axis=2)
+    out = itz(s12) + dvz(to_pencil(f3, grid, 2))
     return from_pencil(out, grid)
 
 
@@ -74,7 +96,10 @@ def lapl(f: Array, grid) -> Array:
 def interp(f: Array, grid, stagger: int = -1) -> Array:
     """Distributed tri-directional interpolation, Z->Y->X (reference
     src/compact_schemes.f90:93-142)."""
-    out = compact.interp_1d(to_pencil(f, grid, 2), stagger=stagger, axis=2)
-    out = compact.interp_1d(to_pencil(out, grid, 1), stagger=stagger, axis=1)
-    out = compact.interp_1d(to_pencil(out, grid, 0), stagger=stagger, axis=0)
+    out = f
+    for d in (2, 1, 0):
+        op = _local_1d(
+            lambda v, d=d: compact.interp_1d(v, stagger=stagger, axis=d),
+            grid, d)
+        out = op(to_pencil(out, grid, d))
     return from_pencil(out, grid)

@@ -280,8 +280,15 @@ def sor_rb_sweep_pallas(u: jax.Array, b: jax.Array, deltas: Sequence[float],
     `reverse`) as a single wide-halo kernel pass — ~half the HBM traffic of
     two color updates. Requires an even slab tile; falls back to two color
     kernels when the tile degenerates to 1 plane (large-plane grids)."""
-    t = _pick_tile(u, tile_x)
-    if t < 2 or u.shape[0] % t:
+    # This kernel holds x (T+4 planes), b (T+2) and several extended
+    # temporaries at once — budget much tighter than the plain stencil's:
+    # (T+4) planes <= 2 MB (anchor: T=8 at 256^2 planes OOMs at 19 MB).
+    nx, ny, nz = u.shape
+    plane = ny * nz * u.dtype.itemsize
+    t = tile_x
+    while t > 1 and ((t + 4) * plane > 2 * 2**20 or nx % t):
+        t //= 2
+    if t < 2:
         first, second = (1, 0) if reverse else (0, 1)
         u = sor_sweep_pallas(u, b, deltas, weight, first, tile_x)
         return sor_sweep_pallas(u, b, deltas, weight, second, tile_x)
