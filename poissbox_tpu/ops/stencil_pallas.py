@@ -49,12 +49,13 @@ def _star_into(out_ref, xm_ref, ym_ref, cur_ref, yp_ref, xp_ref, invs):
     else:
         xm, xp = xm_ref[:], xp_ref[:]
     out_ref[:] = (xm + xp) * ivx
-    # y-neighbors: same scheme on the panel axis
+    # y-neighbors: halo *slabs* of 8 rows (TPU sublane blocks must be
+    # multiples of 8) — only the boundary row of each is used
     if c.shape[1] > 1:
-        ym = jnp.concatenate([ym_ref[:], c[:, :-1]], axis=1)
-        yp = jnp.concatenate([c[:, 1:], yp_ref[:]], axis=1)
+        ym = jnp.concatenate([ym_ref[:, -1:], c[:, :-1]], axis=1)
+        yp = jnp.concatenate([c[:, 1:], yp_ref[:, :1]], axis=1)
     else:
-        ym, yp = ym_ref[:], yp_ref[:]
+        ym, yp = ym_ref[:, -1:], yp_ref[:, :1]
     out_ref[:] = out_ref[:] + (ym + yp) * ivy
     # z-neighbors: block covers the full axis — a circular roll IS the
     # periodic boundary (pltpu.roll wants shift >= 0)
@@ -169,15 +170,21 @@ def _launch(kernel, u: jax.Array, tiles, extra=()):
     xplane = lambda off: pl.BlockSpec(
         (1, ty, nz), lambda i, j: ((i * tx + off) % nx, j, 0),
         memory_space=vm)
-    yrow = lambda off: pl.BlockSpec(
-        (tx, 1, nz), lambda i, j: (i, (j * ty + off) % ny, 0),
-        memory_space=vm)
+    # y-halo slabs: 8 rows (sublane-divisibility), boundary row used
+    nyb = ny // 8
+    tyb = ty // 8
+    ym_spec = pl.BlockSpec((tx, 8, nz),
+                           lambda i, j: (i, (j * tyb - 1) % nyb, 0),
+                           memory_space=vm)
+    yp_spec = pl.BlockSpec((tx, 8, nz),
+                           lambda i, j: (i, ((j + 1) * tyb) % nyb, 0),
+                           memory_space=vm)
     n_in = 3 + len(extra)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
         grid=(nx // tx, ny // ty),
-        in_specs=[xplane(-1), yrow(-1), blk(), yrow(ty), xplane(tx)]
+        in_specs=[xplane(-1), ym_spec, blk(), yp_spec, xplane(tx)]
         + [blk()] * len(extra),
         out_specs=blk(),
         cost_estimate=pl.CostEstimate(
