@@ -34,10 +34,16 @@ from jax.experimental.pallas import tpu as pltpu
 # kernels
 # ---------------------------------------------------------------------------
 
-def _star_into(out_ref, xm_ref, ym_ref, cur_ref, yp_ref, xp_ref, invs):
+def _star_into(out_ref, cur_ref, invs, xm_ref, xp_ref,
+               ym_ref=None, yp_ref=None):
     """Accumulate the 7-point star into out_ref, one neighbor pair per
     statement so Mosaic can retire each shifted temporary before the next
-    (peak VMEM ~ slab + 2 temps, not 7 simultaneous copies)."""
+    (peak VMEM ~ slab + 2 temps, not 7 simultaneous copies).
+
+    ym_ref/yp_ref None => the block spans the full y axis and an in-VMEM
+    roll IS the periodic boundary; otherwise they are 8-row halo slabs
+    (TPU sublane blocks must be multiples of 8) whose boundary row is used.
+    """
     ivx, ivy, ivz = invs
     c = cur_ref[:]
     # x-neighbors: shift within the slab + boundary planes from the
@@ -49,35 +55,21 @@ def _star_into(out_ref, xm_ref, ym_ref, cur_ref, yp_ref, xp_ref, invs):
     else:
         xm, xp = xm_ref[:], xp_ref[:]
     out_ref[:] = (xm + xp) * ivx
-    # y-neighbors: halo *slabs* of 8 rows (TPU sublane blocks must be
-    # multiples of 8) — only the boundary row of each is used
-    if c.shape[1] > 1:
-        ym = jnp.concatenate([ym_ref[:, -1:], c[:, :-1]], axis=1)
-        yp = jnp.concatenate([c[:, 1:], yp_ref[:, :1]], axis=1)
+    if ym_ref is None:
+        out_ref[:] = out_ref[:] + (
+            pltpu.roll(c, 1, 1) + pltpu.roll(c, c.shape[1] - 1, 1)) * ivy
     else:
-        ym, yp = ym_ref[:, -1:], yp_ref[:, :1]
-    out_ref[:] = out_ref[:] + (ym + yp) * ivy
+        if c.shape[1] > 1:
+            ym = jnp.concatenate([ym_ref[:, -1:], c[:, :-1]], axis=1)
+            yp = jnp.concatenate([c[:, 1:], yp_ref[:, :1]], axis=1)
+        else:
+            ym, yp = ym_ref[:, -1:], yp_ref[:, :1]
+        out_ref[:] = out_ref[:] + (ym + yp) * ivy
     # z-neighbors: block covers the full axis — a circular roll IS the
     # periodic boundary (pltpu.roll wants shift >= 0)
     out_ref[:] = out_ref[:] + (
         pltpu.roll(c, 1, 2) + pltpu.roll(c, c.shape[2] - 1, 2)) * ivz
     out_ref[:] = out_ref[:] - (2.0 * (ivx + ivy + ivz)) * c
-
-
-def _lapl_kernel(xm, ym, cur, yp, xp, out_ref, *, invs):
-    _star_into(out_ref, xm, ym, cur, yp, xp, invs)
-
-
-def _residual_kernel(xm, ym, cur, yp, xp, b_ref, out_ref, *, invs):
-    """out = b - A x, one fused pass."""
-    _star_into(out_ref, xm, ym, cur, yp, xp, invs)
-    out_ref[:] = b_ref[:] - out_ref[:]
-
-
-def _jacobi_kernel(xm, ym, cur, yp, xp, b_ref, out_ref, *, invs, winv_diag):
-    """Damped Jacobi sweep: out = x + (w/diag) * (b - A x), fused."""
-    _star_into(out_ref, xm, ym, cur, yp, xp, invs)
-    out_ref[:] = cur[:] + winv_diag * (b_ref[:] - out_ref[:])
 
 
 def _parity(shape, i0, j0):
@@ -87,14 +79,38 @@ def _parity(shape, i0, j0):
     return (ii + jj + kk) % 2
 
 
-def _sor_kernel(xm, ym, cur, yp, xp, b_ref, out_ref, *,
-                invs, winv_diag, color, tx, ty):
-    """One red-black SOR color update, fused: out = x + mask*(w/diag)*r
-    with mask = [(i + j + k) % 2 == color], i, j global."""
-    _star_into(out_ref, xm, ym, cur, yp, xp, invs)
-    out_ref[:] = winv_diag * (b_ref[:] - out_ref[:])
-    mask = _parity(cur.shape, pl.program_id(0) * tx,
-                   pl.program_id(1) * ty) == color
+def _make_kernel(update, full_y, **kw):
+    """Build a pallas kernel: star evaluation (full-y 3-input or paneled
+    5-input halo scheme) followed by `update(out_ref, cur_ref, extras)`."""
+    if full_y:
+        def kernel(xm, cur, xp, *rest):
+            *extras, out_ref = rest
+            _star_into(out_ref, cur, kw["invs"], xm, xp)
+            update(out_ref, cur, extras, kw)
+    else:
+        def kernel(xm, ym, cur, yp, xp, *rest):
+            *extras, out_ref = rest
+            _star_into(out_ref, cur, kw["invs"], xm, xp, ym, yp)
+            update(out_ref, cur, extras, kw)
+    return kernel
+
+
+def _upd_lapl(out_ref, cur, extras, kw):
+    pass
+
+
+def _upd_residual(out_ref, cur, extras, kw):
+    out_ref[:] = extras[0][:] - out_ref[:]
+
+
+def _upd_jacobi(out_ref, cur, extras, kw):
+    out_ref[:] = cur[:] + kw["winv_diag"] * (extras[0][:] - out_ref[:])
+
+
+def _upd_sor(out_ref, cur, extras, kw):
+    out_ref[:] = kw["winv_diag"] * (extras[0][:] - out_ref[:])
+    mask = _parity(cur.shape, pl.program_id(0) * kw["tx"],
+                   pl.program_id(1) * kw["ty"]) == kw["color"]
     out_ref[:] = cur[:] + jnp.where(mask, out_ref[:], 0.0)
 
 
@@ -138,16 +154,28 @@ def _sor_rb_kernel(prev2_ref, cur_ref, next2_ref, bp_ref, b_ref, bn_ref,
 # launchers
 # ---------------------------------------------------------------------------
 
-def _pick_tiles(u: jax.Array, budget_bytes: int = 3 * 2**20) -> tuple[int, int]:
-    """(TX, TY) such that the halo-extended block (TX+2)*(TY+2)*nz stays
-    under the VMEM budget. Empirical anchors (f32): 256^3 (TX,TY)=(8,256)
-    fits, (16,256) OOMs; 512^3 (2,512) OOMs but (8,64) fits."""
+def _pick_tiles(u: jax.Array) -> tuple[int, int]:
+    """(TX, TY) for the stencil/smoother kernels.
+
+    Prefer the full-y (3-input, y-rolls) scheme — cheapest halo traffic —
+    while the halo-extended block (TX+2)*ny*nz fits its budget (anchors,
+    f32: 256^3 (8, full) fits; (16, full) OOMs; 512^3 (2, full) OOMs).
+    Otherwise tile y into panels with 8-row halo slabs under a tighter
+    budget (anchor: 512^3 (8, 64) fits)."""
     nx, ny, nz = u.shape
     row = nz * u.dtype.itemsize
-    tx, ty = 8, ny
+    tx = 8
     while tx > 1 and nx % tx:
         tx //= 2
-    while (tx + 2) * (ty + 2) * row > budget_bytes:
+    # full-y scheme
+    full_budget = int(2.8 * 2**20)
+    if (tx + 2) * ny * row <= full_budget:
+        return tx, ny
+    if (4 + 2) * ny * row <= full_budget and nx % 4 == 0:
+        return 4, ny
+    # paneled scheme
+    ty = ny
+    while (tx + 2) * (ty + 2) * row > 2 * 2**20:
         if ty > 8:
             ty //= 2
             while ny % ty and ty > 1:
@@ -159,61 +187,64 @@ def _pick_tiles(u: jax.Array, budget_bytes: int = 3 * 2**20) -> tuple[int, int]:
     return max(tx, 1), max(ty, 1)
 
 
-def _launch(kernel, u: jax.Array, tiles, extra=()):
-    """Launch a halo-extended (x-slab, y-panel) kernel. Input order:
-    x-minus plane, y-minus row, block, y-plus row, x-plus plane, *extra."""
+def _launch(update, u: jax.Array, tiles, invs, extra=(), **kw):
+    """Launch a stencil kernel over (x-slab, y-panel) blocks; full-y tiles
+    use the cheaper 3-input scheme with in-VMEM y rolls."""
     nx, ny, nz = u.shape
     tx, ty = tiles
+    full_y = ty == ny
     vm = pltpu.VMEM
+    kernel = _make_kernel(update, full_y, invs=invs, tx=tx, ty=ty, **kw)
     blk = lambda: pl.BlockSpec((tx, ty, nz), lambda i, j: (i, j, 0),
                                memory_space=vm)
     xplane = lambda off: pl.BlockSpec(
         (1, ty, nz), lambda i, j: ((i * tx + off) % nx, j, 0),
         memory_space=vm)
-    # y-halo slabs: 8 rows (sublane-divisibility), boundary row used
-    nyb = ny // 8
-    tyb = ty // 8
-    ym_spec = pl.BlockSpec((tx, 8, nz),
-                           lambda i, j: (i, (j * tyb - 1) % nyb, 0),
-                           memory_space=vm)
-    yp_spec = pl.BlockSpec((tx, 8, nz),
-                           lambda i, j: (i, ((j + 1) * tyb) % nyb, 0),
-                           memory_space=vm)
-    n_in = 3 + len(extra)
+    if full_y:
+        in_specs = [xplane(-1), blk(), xplane(tx)]
+        args = (u, u, u)
+    else:
+        # y-halo slabs: 8 rows (sublane-divisibility), boundary row used
+        nyb, tyb = ny // 8, ty // 8
+        ym_spec = pl.BlockSpec((tx, 8, nz),
+                               lambda i, j: (i, (j * tyb - 1) % nyb, 0),
+                               memory_space=vm)
+        yp_spec = pl.BlockSpec((tx, 8, nz),
+                               lambda i, j: (i, ((j + 1) * tyb) % nyb, 0),
+                               memory_space=vm)
+        in_specs = [xplane(-1), ym_spec, blk(), yp_spec, xplane(tx)]
+        args = (u, u, u, u, u)
+    n_in = len(in_specs) + len(extra)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
         grid=(nx // tx, ny // ty),
-        in_specs=[xplane(-1), ym_spec, blk(), yp_spec, xplane(tx)]
-        + [blk()] * len(extra),
+        in_specs=in_specs + [blk()] * len(extra),
         out_specs=blk(),
         cost_estimate=pl.CostEstimate(
             flops=9 * u.size, bytes_accessed=n_in * u.size * u.dtype.itemsize,
             transcendentals=0),
         interpret=jax.default_backend() != "tpu",
-    )(u, u, u, u, u, *extra)
+    )(*args, *extra)
 
 
 @functools.partial(jax.jit, static_argnames=("deltas", "tiles"))
 def _apply(u: jax.Array, deltas, tiles) -> jax.Array:
     invs = tuple(1.0 / float(d) ** 2 for d in deltas)
-    return _launch(functools.partial(_lapl_kernel, invs=invs), u, tiles)
+    return _launch(_upd_lapl, u, tiles, invs)
 
 
 @functools.partial(jax.jit, static_argnames=("deltas", "tiles"))
 def _residual(u, b, deltas, tiles):
     invs = tuple(1.0 / float(d) ** 2 for d in deltas)
-    return _launch(functools.partial(_residual_kernel, invs=invs), u, tiles,
-                   extra=(b,))
+    return _launch(_upd_residual, u, tiles, invs, extra=(b,))
 
 
 @functools.partial(jax.jit, static_argnames=("deltas", "tiles", "weight"))
 def _jacobi(u, b, deltas, weight, tiles):
     invs = tuple(1.0 / float(d) ** 2 for d in deltas)
     winv = weight / (-2.0 * sum(invs))
-    return _launch(
-        functools.partial(_jacobi_kernel, invs=invs, winv_diag=winv),
-        u, tiles, extra=(b,))
+    return _launch(_upd_jacobi, u, tiles, invs, extra=(b,), winv_diag=winv)
 
 
 @functools.partial(jax.jit, static_argnames=("deltas", "tiles", "weight",
@@ -221,10 +252,8 @@ def _jacobi(u, b, deltas, weight, tiles):
 def _sor(u, b, deltas, weight, color, tiles):
     invs = tuple(1.0 / float(d) ** 2 for d in deltas)
     winv = weight / (-2.0 * sum(invs))
-    return _launch(
-        functools.partial(_sor_kernel, invs=invs, winv_diag=winv,
-                          color=color, tx=tiles[0], ty=tiles[1]),
-        u, tiles, extra=(b,))
+    return _launch(_upd_sor, u, tiles, invs, extra=(b,), winv_diag=winv,
+                   color=color)
 
 
 @functools.partial(jax.jit, static_argnames=("deltas", "tile_x", "weight",
@@ -290,7 +319,7 @@ def apply_laplacian_pallas(u: jax.Array, deltas: Sequence[float],
 def residual_pallas(u: jax.Array, b: jax.Array, deltas: Sequence[float],
                     tile_x: int = 8) -> jax.Array:
     """Fused residual r = b - A u (3 HBM passes instead of 5)."""
-    tiles = _pick_tiles(u, budget_bytes=2 * 2**20)
+    tiles = _pick_tiles(u)
     return _residual(u, b, tuple(float(d) for d in deltas),
                      (min(tiles[0], tile_x), tiles[1]))
 
@@ -299,7 +328,7 @@ def jacobi_sweep_pallas(u: jax.Array, b: jax.Array, deltas: Sequence[float],
                         weight: float, tile_x: int = 8) -> jax.Array:
     """Fused damped-Jacobi smoother sweep u + (w/diag)(b - A u) — the MG
     level smoother as one memory pass over (u, b, out)."""
-    tiles = _pick_tiles(u, budget_bytes=2 * 2**20)
+    tiles = _pick_tiles(u)
     return _jacobi(u, b, tuple(float(d) for d in deltas), float(weight),
                    (min(tiles[0], tile_x), tiles[1]))
 
@@ -307,7 +336,7 @@ def jacobi_sweep_pallas(u: jax.Array, b: jax.Array, deltas: Sequence[float],
 def sor_sweep_pallas(u: jax.Array, b: jax.Array, deltas: Sequence[float],
                      weight: float, color: int, tile_x: int = 8) -> jax.Array:
     """Fused red-black SOR color update (color 0 = red, (i+j+k) even)."""
-    tiles = _pick_tiles(u, budget_bytes=2 * 2**20)
+    tiles = _pick_tiles(u)
     return _sor(u, b, tuple(float(d) for d in deltas), float(weight),
                 int(color), (min(tiles[0], tile_x), tiles[1]))
 
