@@ -54,9 +54,9 @@ def _star_into(out_ref, cur_ref, invs, xm_ref, xp_ref,
         xp = jnp.concatenate([c[1:], xp_ref[:]], axis=0)
     else:
         xm, xp = xm_ref[:], xp_ref[:]
-    out_ref[:] = (xm + xp) * ivx
+    acc = (xm + xp) * ivx
     if ym_ref is None:
-        out_ref[:] = out_ref[:] + (
+        acc = acc + (
             pltpu.roll(c, 1, 1) + pltpu.roll(c, c.shape[1] - 1, 1)) * ivy
     else:
         if c.shape[1] > 1:
@@ -64,12 +64,12 @@ def _star_into(out_ref, cur_ref, invs, xm_ref, xp_ref,
             yp = jnp.concatenate([c[:, 1:], yp_ref[:, :1]], axis=1)
         else:
             ym, yp = ym_ref[:, -1:], yp_ref[:, :1]
-        out_ref[:] = out_ref[:] + (ym + yp) * ivy
+        acc = acc + (ym + yp) * ivy
     # z-neighbors: block covers the full axis — a circular roll IS the
     # periodic boundary (pltpu.roll wants shift >= 0)
-    out_ref[:] = out_ref[:] + (
+    acc = acc + (
         pltpu.roll(c, 1, 2) + pltpu.roll(c, c.shape[2] - 1, 2)) * ivz
-    out_ref[:] = out_ref[:] - (2.0 * (ivx + ivy + ivz)) * c
+    out_ref[:] = acc - (2.0 * (ivx + ivy + ivz)) * c
 
 
 def _parity(shape, i0, j0):
