@@ -23,6 +23,19 @@ def test_save_load_roundtrip(tmp_path):
     assert int(loaded["iterations"]) == 7
 
 
+def test_sharded_roundtrip(tmp_path):
+    # Orbax must preserve values for sharded fields (multi-host analogue
+    # exercised on the virtual mesh)
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    grid = Grid3D((16, 16, 16)).with_mesh()
+    u = grid.random(jax.random.PRNGKey(5))
+    p = checkpoint.save(str(tmp_path / "sharded"), {"u": u})
+    loaded = checkpoint.load(p)
+    np.testing.assert_array_equal(np.asarray(loaded["u"]), np.asarray(u))
+
+
 def test_resume_matches_uninterrupted(tmp_path):
     grid = Grid3D((16, 16, 16))
     A = make_laplacian_operator(grid)
