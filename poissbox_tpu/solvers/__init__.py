@@ -14,6 +14,9 @@ README.md:42-49). Here the same capability surface is pure JAX:
   - solvers.refine ..... mixed-precision iterative refinement (f32 inner
                          solves, f64 true residuals — the TPU-native route
                          to the reference's double-precision accuracy)
+  - solvers.fft ........ FFT direct solve for the fully periodic case
+                         (exact spectral inverse of the discrete operator;
+                         no reference analogue — TPU-first fast path)
 
 All solvers are jit-compatible (`lax.while_loop` outer iterations, psum-style
 global reductions via jnp on sharded arrays), handle the singular periodic
@@ -29,6 +32,7 @@ from poissbox_tpu.solvers.richardson import richardson
 from poissbox_tpu.solvers.mg import MGConfig, make_mg_preconditioner, v_cycle
 from poissbox_tpu.solvers.ksp import solve, make_solver
 from poissbox_tpu.solvers.refine import RefineResult, refine
+from poissbox_tpu.solvers.fft import poisson_solve_fft
 
 __all__ = [
     "SolveResult",
@@ -43,4 +47,5 @@ __all__ = [
     "make_solver",
     "refine",
     "RefineResult",
+    "poisson_solve_fft",
 ]

@@ -85,8 +85,13 @@ def make_solver(
                                         **common)
     if opts.ksp_type == "richardson":
         return lambda b, x0=None: richardson(A, b, x0, **common)
+    if opts.ksp_type == "fft":
+        if deltas is None:
+            raise ValueError("fft direct solve needs the grid deltas")
+        from poissbox_tpu.solvers.fft import fft_solver_result
+        return lambda b, x0=None: fft_solver_result(A, b, deltas)
     raise ValueError(
-        f"unknown ksp_type {opts.ksp_type!r} (expected cg|gmres|richardson)")
+        f"unknown ksp_type {opts.ksp_type!r} (expected cg|gmres|richardson|fft)")
 
 
 def solve(
