@@ -32,26 +32,33 @@ from poissbox_tpu.solvers.result import ConvergedReason, SolveResult
 Array = jax.Array
 
 
-@functools.lru_cache(maxsize=None)
-def _inv_eigenvalues(shape: tuple, deltas: tuple, dtype_name: str):
-    """Pseudo-inverse eigenvalues of the periodic 7-point Laplacian,
-    rfft-layout (last axis halved). Computed once per (shape, deltas)."""
-    with jax.ensure_compile_time_eval():
-        nx, ny, nz = shape
-        dx, dy, dz = deltas
+def _inv_eigenvalues(shape: tuple, deltas: tuple, dtype, rfft: bool):
+    """Pseudo-inverse eigenvalues of the periodic 7-point Laplacian, in
+    rfft layout (last axis halved) or full-fft layout.
 
-        def lam(n, d):
-            k = np.arange(n)
-            return (2.0 * np.cos(2.0 * np.pi * k / n) - 2.0) / d**2
+    Evaluated with jnp *inside the trace* — a host-precomputed table would
+    be embedded in the compiled program as an O(n^3) literal (33 MB at
+    256^3), which bloats executables and overflows remote-compile payload
+    limits; the on-device cosine evaluation is a negligible one-pass cost
+    that XLA constant-folds/hoists anyway."""
+    nx, ny, nz = shape
+    dx, dy, dz = deltas
 
-        lx = lam(nx, dx)[:, None, None]
-        ly = lam(ny, dy)[None, :, None]
-        lz = lam(nz, dz)[None, None, : nz // 2 + 1]  # rfft layout
-        eig = lx + ly + lz
-        inv = np.zeros_like(eig)
-        nonzero = eig != 0.0
-        inv[nonzero] = 1.0 / eig[nonzero]  # zero mode -> 0: pseudo-inverse
-        return jnp.asarray(inv, jnp.dtype(dtype_name))
+    def lam(n, d):
+        # 2 cos(theta) - 2 == -4 sin^2(theta/2): the sin^2 form is
+        # cancellation-free — the difference form loses ~7 digits for low
+        # modes in f32 and produces garbage solves
+        k = jnp.arange(n, dtype=dtype)
+        s = jnp.sin((np.pi / n) * k)
+        return (-4.0 / d**2) * s * s
+
+    lz = lam(nz, dz)
+    if rfft:
+        lz = lz[: nz // 2 + 1]
+    eig = (lam(nx, dx)[:, None, None]
+           + lam(ny, dy)[None, :, None]
+           + lz[None, None, :])
+    return jnp.where(eig != 0.0, 1.0 / jnp.where(eig != 0.0, eig, 1.0), 0.0)
 
 
 def poisson_solve_fft(b: Array, deltas: Sequence[float]) -> Array:
@@ -62,11 +69,20 @@ def poisson_solve_fft(b: Array, deltas: Sequence[float]) -> Array:
     semantics to the projected Krylov solves.
     """
     shape = tuple(b.shape)
-    inv = _inv_eigenvalues(shape, tuple(float(d) for d in deltas),
-                           jnp.dtype(b.dtype).name)
-    bhat = jnp.fft.rfftn(b)
+    # XLA's real FFT mis-computes large transforms on some TPU runtimes
+    # (observed: irfftn(rfftn(u)) has 0.17 relative error at 256^3 on v5e
+    # while the complex transform is fine at 7e-7), so the TPU path uses
+    # the complex FFT; CPU keeps the cheaper real transform.
+    use_rfft = jax.default_backend() == "cpu"
+    inv = _inv_eigenvalues(shape, tuple(float(d) for d in deltas), b.dtype,
+                           rfft=use_rfft)
+    if use_rfft:
+        xhat = jnp.fft.rfftn(b) * inv.astype(jnp.complex64 if b.dtype ==
+                                             jnp.float32 else jnp.complex128)
+        return jnp.fft.irfftn(xhat, s=shape).astype(b.dtype)
+    bhat = jnp.fft.fftn(b)
     xhat = bhat * inv.astype(bhat.dtype)
-    return jnp.fft.irfftn(xhat, s=shape).astype(b.dtype)
+    return jnp.fft.ifftn(xhat).real.astype(b.dtype)
 
 
 def fft_solver_result(A, b: Array, deltas: Sequence[float]) -> SolveResult:
