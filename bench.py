@@ -161,6 +161,28 @@ def bench_compact(n: int, dtype) -> dict:
             "compact_lapl_gdofs": n**3 / t / 1e9}
 
 
+def bench_fft(n: int, dtype) -> dict:
+    """FFT direct solve (exact for the periodic case) — the fastest path
+    on the benchmark problem."""
+    import jax.numpy as jnp
+
+    from poissbox_tpu.mesh import Grid3D
+    from poissbox_tpu.ops.stencil import make_laplacian_operator
+    from poissbox_tpu.solvers.fft import poisson_solve_fft
+    from poissbox_tpu.utils.profiling import kernel_time
+
+    grid = Grid3D((n, n, n))
+    A = make_laplacian_operator(grid)
+    u = jax.random.uniform(jax.random.PRNGKey(4), grid.n, dtype, -1.0, 1.0)
+    b = A(u - jnp.mean(u))
+    x = poisson_solve_fft(b, grid.deltas)
+    rel = float(jnp.linalg.norm((A(x) - b).ravel())
+                / jnp.linalg.norm(b.ravel()))
+    t = kernel_time(lambda v: poisson_solve_fft(v, grid.deltas), b,
+                    lo=5, hi=20)
+    return {"fft_solve_ms": t * 1e3, "fft_rel_residual": rel}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=256)
@@ -186,6 +208,8 @@ def main() -> int:
     print(f"tridiag: {td}", file=sys.stderr)
     cp = bench_compact(n, dtype)
     print(f"compact: {cp}", file=sys.stderr)
+    ft = bench_fft(n, dtype)
+    print(f"fft: {ft}", file=sys.stderr)
 
     record = {
         "metric": f"stencil_gdofs_{n}",
@@ -193,7 +217,7 @@ def main() -> int:
         "unit": "GDoF/s",
         "vs_baseline": round(st["stencil_roofline_frac"], 4),
         **{k: (float(f"{v:.6g}") if isinstance(v, float) else v)
-           for k, v in {**st, **mg, **td, **cp, **info}.items()},
+           for k, v in {**st, **mg, **td, **cp, **ft, **info}.items()},
     }
     print(json.dumps(record))
     return 0
