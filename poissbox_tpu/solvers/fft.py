@@ -20,7 +20,6 @@ projection semantics as MatNullSpace (reference src/poissbox.f90:284-291).
 
 from __future__ import annotations
 
-import functools
 from typing import Sequence
 
 import jax
@@ -62,7 +61,7 @@ def _inv_eigenvalues(shape: tuple, deltas: tuple, dtype, rfft: bool):
 
 
 def poisson_solve_fft(b: Array, deltas: Sequence[float]) -> Array:
-    """x = A^+ b for the periodic 7-point Laplacian, via real FFTs.
+    """x = A^+ b for the periodic 7-point Laplacian, via FFTs.
 
     Exact (to floating point) for any RHS; the null-space component of b
     is annihilated, so the result is the minimal-norm solution — identical
