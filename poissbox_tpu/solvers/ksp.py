@@ -45,9 +45,13 @@ def make_preconditioner(
     if opts.pc_type == "mg":
         if shape is None or deltas is None:
             raise ValueError("mg preconditioning needs the grid shape and deltas")
+        smoother = opts.mg_levels_pc_type
+        if opts.mg_levels_ksp_type == "chebyshev":
+            # PETSc expresses Chebyshev as the level KSP type
+            smoother = "chebyshev"
         cfg = MGConfig(
             levels=opts.mg_levels,
-            smoother=opts.mg_levels_pc_type,
+            smoother=smoother,
             pre_smooth=opts.mg_levels_ksp_max_it,
             post_smooth=opts.mg_levels_ksp_max_it,
             damping=None if opts.mg_levels_damping == 1.0

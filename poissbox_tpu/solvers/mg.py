@@ -49,7 +49,7 @@ class MGConfig:
     """Multigrid knobs, mirroring the reference's `-mg_*` flag set."""
 
     levels: int = 0               # 0 = auto (coarsen while divisible, > coarse_size)
-    smoother: str = "sor"         # "sor" (red-black) | "jacobi"
+    smoother: str = "sor"         # "sor" (red-black) | "jacobi" | "chebyshev"
     pre_smooth: int = 2           # smoother sweeps before coarse correction
     post_smooth: int = 2          # ... and after (reversed ordering)
     damping: Optional[float] = None  # None = per-smoother default (sor 1.0, jacobi 8/9)
@@ -223,6 +223,31 @@ def _smooth(x: Array, b: Array, lvl: _Level, cfg: MGConfig, sweeps: int,
         for _ in range(sweeps):
             x = x + w * inv_diag * (b - apply_laplacian(x, lvl.deltas))
         return x
+    if cfg.smoother == "chebyshev":
+        # Chebyshev polynomial smoothing (PETSc GAMG's modern default level
+        # solver, `-mg_levels_ksp_type chebyshev`). The periodic 7-point
+        # spectrum is known analytically — eigenvalues in [-4*sum(1/d^2), 0]
+        # — so the usual power-iteration estimate is unnecessary; smooth the
+        # upper 90% of the spectrum ([0.1, 1.0]*lambda_max in magnitude,
+        # GAMG's convention). A polynomial in A is symmetric by
+        # construction, so pre/post ordering needs no reversal.
+        m = 4.0 * sum(1.0 / dd**2 for dd in lvl.deltas)
+        a_lo, b_hi = -m, -0.1 * m          # signed spectrum interval
+        theta = 0.5 * (a_lo + b_hi)
+        delta = 0.5 * (b_hi - a_lo)
+        sigma1 = theta / delta
+        degree = max(2 * sweeps, 2)        # ~cost parity with 2-color SOR
+        r = _residual(x, b, lvl, cfg)
+        d = r / theta
+        x = x + d
+        rho = 1.0 / sigma1
+        for _ in range(degree - 1):
+            r = _residual(x, b, lvl, cfg)
+            rho_new = 1.0 / (2.0 * sigma1 - rho)
+            d = (rho_new * rho) * d + (2.0 * rho_new / delta) * r
+            x = x + d
+            rho = rho_new
+        return x
     if cfg.smoother == "sor":
         w = 1.0 if cfg.damping is None else cfg.damping
         order = [1, 0] if reverse else [0, 1]  # color 0 = red, (i+j+k) even
@@ -238,7 +263,7 @@ def _smooth(x: Array, b: Array, lvl: _Level, cfg: MGConfig, sweeps: int,
                 r = b - apply_laplacian(x, lvl.deltas)
                 x = x + (w * inv_diag) * masks[color] * r
         return x
-    raise ValueError(f"unknown smoother {cfg.smoother!r} (expected 'sor' or 'jacobi')")
+    raise ValueError(f"unknown smoother {cfg.smoother!r} (expected sor|jacobi|chebyshev)")
 
 
 # ---------------------------------------------------------------------------
