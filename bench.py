@@ -188,7 +188,7 @@ def main() -> int:
     ap.add_argument("--n", type=int, default=256)
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--rtol", type=float, default=1e-6)
-    ap.add_argument("--quick", action="store_true",
+    ap.add_argument("--quick", "--smoke", action="store_true",
                     help="64^3 only (fast sanity run)")
     args = ap.parse_args()
     if args.dtype == "float64":

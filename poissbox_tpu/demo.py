@@ -41,6 +41,15 @@ def run(opts: Options) -> float:
     """Run the demo; returns the final relative true residual
     ||Ax - b|| / ||b||."""
     n = opts.get_int("n", 64)
+    platform = opts.get_str("platform", "")
+    if platform:  # e.g. `-platform cpu` / `--platform cpu`
+        try:
+            jax.config.update("jax_platforms", platform)
+            if platform == "cpu":
+                jax.config.update("jax_num_cpu_devices",
+                                  opts.get_int("devices", 8))
+        except RuntimeError:
+            pass  # backend already initialized
     use_x64 = opts.get_bool("x64", jax.config.jax_enable_x64)
     if use_x64 and not jax.config.jax_enable_x64:
         jax.config.update("jax_enable_x64", True)
