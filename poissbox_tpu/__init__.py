@@ -30,7 +30,7 @@ so single-precision / TPU-fast paths work unchanged.
 """
 
 from poissbox_tpu.constants import enable_x64, default_real
-from poissbox_tpu.mesh import Grid3D, make_device_mesh
+from poissbox_tpu.mesh import Grid3D, init_distributed, make_device_mesh
 from poissbox_tpu.linops import LinearOperator, make_nullspace_projector
 from poissbox_tpu.config import Options
 
@@ -38,6 +38,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "enable_x64",
+    "init_distributed",
     "default_real",
     "Grid3D",
     "make_device_mesh",

@@ -1,5 +1,18 @@
-"""Numerical operator kernels: stencils, tridiagonal solves, compact schemes."""
+"""Numerical operator kernels: stencils, tridiagonal solves, compact schemes.
 
-from poissbox_tpu.ops import coefficients, stencil, tridiag, compact
+Pure-XLA formulations (stencil, tridiag, compact, assemble) plus the
+hand-tiled Pallas kernels (stencil_pallas, tridiag_pallas) and the
+distributed pencil-transposed compact operators (compact_dist).
+"""
 
-__all__ = ["coefficients", "stencil", "tridiag", "compact"]
+from poissbox_tpu.ops import (
+    assemble,
+    coefficients,
+    compact,
+    compact_dist,
+    stencil,
+    tridiag,
+)
+
+__all__ = ["assemble", "coefficients", "compact", "compact_dist",
+           "stencil", "tridiag"]
