@@ -191,6 +191,14 @@ def main() -> int:
     ap.add_argument("--quick", "--smoke", action="store_true",
                     help="64^3 only (fast sanity run)")
     args = ap.parse_args()
+    try:
+        # persistent compilation cache: repeat runs (and the driver's
+        # end-of-round run) skip the slow first-compile through the tunnel
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/poissbox-jax-cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     if args.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
     dtype = jnp.dtype(args.dtype)
