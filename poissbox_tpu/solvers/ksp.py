@@ -78,7 +78,10 @@ def make_solver(
     elif isinstance(opts, Options):
         opts = SolverOptions.from_options(opts)
 
-    M = make_preconditioner(A, opts, shape, deltas, dtype)
+    # direct solvers take no preconditioner — skip the (possibly
+    # expensive) MG setup entirely
+    M = (None if opts.ksp_type == "fft"
+         else make_preconditioner(A, opts, shape, deltas, dtype))
     common = dict(M=M, rtol=opts.ksp_rtol, atol=opts.ksp_atol,
                   max_it=opts.ksp_max_it)
 
