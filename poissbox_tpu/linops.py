@@ -52,6 +52,9 @@ class LinearOperator:
     diagonal: Optional[Callable[[], Array]] = None
     nullspace: Optional[Callable[[Array], Array]] = None
     symmetric: bool = True
+    # optional fused matvec + dot: x -> (A x, <x, A x>); lets CG evaluate
+    # p'Ap without re-reading p and Ap from HBM (Pallas kernels provide it)
+    apply_dot: Optional[Callable[[Array], tuple]] = None
 
     def __call__(self, x: Array) -> Array:
         return self.apply(x)

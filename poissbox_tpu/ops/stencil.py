@@ -104,11 +104,16 @@ def make_laplacian_operator(grid, impl: str = "auto"):
         raise ValueError(f"unknown stencil impl {impl!r}")
 
     diag_val = -2.0 * sum(1.0 / float(d) ** 2 for d in deltas)
+    apply_dot = None
+    if impl == "pallas":
+        from poissbox_tpu.ops.stencil_pallas import apply_laplacian_dot_pallas
+        apply_dot = lambda u: apply_laplacian_dot_pallas(u, deltas)
     return LinearOperator(
         apply=apply,
         diagonal=lambda: jnp.asarray(diag_val),
         nullspace=make_nullspace_projector(),
         symmetric=True,
+        apply_dot=apply_dot,
     )
 
 

@@ -234,6 +234,51 @@ def _apply(u: jax.Array, deltas, tiles) -> jax.Array:
     return _launch(_upd_lapl, u, tiles, invs)
 
 
+def _lapl_dot_kernel_fy(xm, cur, xp, out_ref, part_ref, *, invs):
+    """Fused matvec + partial dot: out = A u, part = sum(u * A u) over the
+    block. The per-program partials land in SMEM scalars; the caller sums
+    the tiny (grid,) array — dot(p, Ap) costs no extra HBM pass."""
+    _star_into(out_ref, cur, invs, xm, xp)
+    part_ref[0, 0] = jnp.sum(cur[:] * out_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("deltas", "tiles"))
+def _apply_dot(u, deltas, tiles):
+    nx, ny, nz = u.shape
+    tx, ty = tiles
+    invs = tuple(1.0 / float(d) ** 2 for d in deltas)
+    vm = pltpu.VMEM
+    blk = pl.BlockSpec((tx, ty, nz), lambda i, j: (i, j, 0), memory_space=vm)
+    xplane = lambda off: pl.BlockSpec(
+        (1, ty, nz), lambda i, j: ((i * tx + off) % nx, j, 0),
+        memory_space=vm)
+    out, parts = pl.pallas_call(
+        functools.partial(_lapl_dot_kernel_fy, invs=invs),
+        out_shape=(jax.ShapeDtypeStruct(u.shape, u.dtype),
+                   jax.ShapeDtypeStruct((nx // tx, ny // ty), u.dtype)),
+        grid=(nx // tx, ny // ty),
+        in_specs=[xplane(-1), blk, xplane(tx)],
+        out_specs=(blk, pl.BlockSpec((1, 1), lambda i, j: (i, j),
+                                     memory_space=pltpu.SMEM)),
+        cost_estimate=pl.CostEstimate(
+            flops=11 * u.size, bytes_accessed=2 * u.size * u.dtype.itemsize,
+            transcendentals=0),
+        interpret=jax.default_backend() != "tpu",
+    )(u, u, u)
+    return out, jnp.sum(parts)
+
+
+def apply_laplacian_dot_pallas(u: jax.Array, deltas: Sequence[float]):
+    """(A u, <u, A u>) in one fused pass — the CG matvec + pAp dot without
+    the extra read of u and A u. Full-y tiles only; large-plane grids fall
+    back to the separate matvec + XLA dot."""
+    tiles = _pick_tiles(u)
+    if tiles[1] != u.shape[1]:
+        out = apply_laplacian_pallas(u, deltas)
+        return out, jnp.sum(u * out)
+    return _apply_dot(u, tuple(float(d) for d in deltas), tiles)
+
+
 @functools.partial(jax.jit, static_argnames=("deltas", "tiles"))
 def _residual(u, b, deltas, tiles):
     invs = tuple(1.0 / float(d) ** 2 for d in deltas)

@@ -91,8 +91,11 @@ def cg(
         return not_done & ok & (s.k < max_it)
 
     def body(s: _CGState) -> _CGState:
-        Ap = A(s.p)
-        pAp = _dot(s.p, Ap)
+        if A.apply_dot is not None:
+            Ap, pAp = A.apply_dot(s.p)
+        else:
+            Ap = A(s.p)
+            pAp = _dot(s.p, Ap)
         # breakdown guard: pAp (or rz) vanishes when the residual has
         # collapsed to rounding noise of the projected null space — stop
         # cleanly with the current iterate instead of dividing 0/0

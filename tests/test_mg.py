@@ -184,6 +184,34 @@ class TestPallasSmoothers:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-12, atol=1e-12)
 
+    def test_fused_matvec_dot(self):
+        from poissbox_tpu.ops.stencil_pallas import apply_laplacian_dot_pallas
+        d = (1 / 16, 1 / 16, 1 / 16)
+        u = jax.random.normal(jax.random.PRNGKey(14), (16, 16, 16),
+                              jnp.float64)
+        out, dot = apply_laplacian_dot_pallas(u, d)
+        ref = apply_laplacian(u, d)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-13, atol=1e-10)
+        assert abs(float(dot - jnp.sum(u * ref))) < 1e-6 * abs(float(dot))
+
+    def test_cg_with_fused_dot_operator(self):
+        # CG driven through apply_dot must match the plain path
+        from poissbox_tpu.mesh import Grid3D
+        from poissbox_tpu.ops.stencil import make_laplacian_operator
+        from poissbox_tpu.solvers import cg as cg_fn
+        grid = Grid3D((16, 16, 16))
+        A_plain = make_laplacian_operator(grid, impl="roll")
+        A_fused = make_laplacian_operator(grid, impl="pallas")
+        assert A_fused.apply_dot is not None
+        u = A_plain.project(jax.random.normal(jax.random.PRNGKey(15),
+                                              grid.n, jnp.float64))
+        b = A_plain(u)
+        x1 = cg_fn(A_plain, b, rtol=1e-10, max_it=2000).x
+        x2 = cg_fn(A_fused, b, rtol=1e-10, max_it=2000).x
+        np.testing.assert_allclose(np.asarray(x2), np.asarray(x1),
+                                   rtol=1e-6, atol=1e-8)
+
     def test_fused_kernels_match_formulas(self):
         from poissbox_tpu.ops.stencil_pallas import (
             jacobi_sweep_pallas, residual_pallas, sor_sweep_pallas)
