@@ -236,16 +236,24 @@ def _apply(u: jax.Array, deltas, tiles) -> jax.Array:
 
 def _lapl_dot_kernel_fy(xm, cur, xp, out_ref, part_ref, *, invs):
     """Fused matvec + partial dot: out = A u, part = sum(u * A u) over the
-    block. The per-program partials land in SMEM scalars; the caller sums
-    the tiny (grid,) array — dot(p, Ap) costs no extra HBM pass."""
+    block. Each program owns an (8, 128) partials tile (the minimum VMEM
+    block — SMEM scalar grid-outputs are rejected by the TPU lowering)
+    with the partial in slot [0, 0]; the caller sums the tiny array —
+    dot(p, Ap) costs no extra HBM pass over the fields."""
     _star_into(out_ref, cur, invs, xm, xp)
-    part_ref[0, 0] = jnp.sum(cur[:] * out_ref[:])
+    p = jnp.sum(cur[:] * out_ref[:])
+    # place the scalar in slot [0, 0] via a mask (in-kernel .at[].set lowers
+    # to an unsupported scatter)
+    ii = jax.lax.broadcasted_iota(jnp.int32, part_ref.shape, 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, part_ref.shape, 1)
+    part_ref[:] = jnp.where((ii == 0) & (jj == 0), p, 0.0).astype(part_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("deltas", "tiles"))
 def _apply_dot(u, deltas, tiles):
     nx, ny, nz = u.shape
     tx, ty = tiles
+    gi, gj = nx // tx, ny // ty
     invs = tuple(1.0 / float(d) ** 2 for d in deltas)
     vm = pltpu.VMEM
     blk = pl.BlockSpec((tx, ty, nz), lambda i, j: (i, j, 0), memory_space=vm)
@@ -255,11 +263,11 @@ def _apply_dot(u, deltas, tiles):
     out, parts = pl.pallas_call(
         functools.partial(_lapl_dot_kernel_fy, invs=invs),
         out_shape=(jax.ShapeDtypeStruct(u.shape, u.dtype),
-                   jax.ShapeDtypeStruct((nx // tx, ny // ty), u.dtype)),
-        grid=(nx // tx, ny // ty),
+                   jax.ShapeDtypeStruct((gi * 8, gj * 128), u.dtype)),
+        grid=(gi, gj),
         in_specs=[xplane(-1), blk, xplane(tx)],
-        out_specs=(blk, pl.BlockSpec((1, 1), lambda i, j: (i, j),
-                                     memory_space=pltpu.SMEM)),
+        out_specs=(blk, pl.BlockSpec((8, 128), lambda i, j: (i, j),
+                                     memory_space=vm)),
         cost_estimate=pl.CostEstimate(
             flops=11 * u.size, bytes_accessed=2 * u.size * u.dtype.itemsize,
             transcendentals=0),
