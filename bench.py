@@ -6,13 +6,16 @@ GDoF/s per chip on the 256^3 grid — the hot kernel of every CG iteration
 the 256^3 MG-CG solve (BASELINE.md config #4 single-chip) and reports its
 time/iterations in the same JSON object.
 
-The reference publishes no timings (BASELINE.md), so `vs_baseline` is the
+The reference publishes no timings (BASELINE.md), so `vs_baseline` is a
 roofline fraction: measured GDoF/s / speed-of-light GDoF/s, where
 speed-of-light = HBM_BW / 8 bytes-per-DoF (one f32 read + one f32 write per
-point for a perfectly fused *cold* stencil pass). Values slightly above 1.0
-are possible — the timed loop chains applications, so blocks still resident
-in VMEM from the previous application are re-read for free; the figure is
-honest steady-state throughput, with the cold-pass model as the yardstick.
+point for a perfectly fused stencil pass). Two variants are measured:
+`stencil_gdofs` chains applications u <- A u (the CG-iteration usage, where
+recently written blocks may still be VMEM-resident), and
+`stencil_gdofs_cold` ping-pongs two buffers so every input block was
+written two applications earlier and is guaranteed evicted. `vs_baseline`
+reports the *cold* fraction, so it is conservative by construction and
+cannot exceed 1.0 by residency effects.
 
 Usage: python bench.py [--n 256] [--dtype float32] [--quick]
 """
@@ -80,10 +83,33 @@ def bench_stencil(n: int, dtype, lo: int = 25, hi: int = 100) -> dict:
     t_lo = _timed_loop(fn, u, lo)
     t_hi = _timed_loop(fn, u, hi)
     per_apply = max((t_hi - t_lo) / (hi - lo), 1e-9)
+
+    # cold variant: ping-pong two buffers; the block read at application k
+    # was written at application k-2, with two full array passes of traffic
+    # in between — guaranteed evicted from VMEM for any n
+    def cold_loop(iters: int) -> float:
+        def body(_, vw):
+            v, w = vw
+            return (w, fn(v))
+        f = jax.jit(lambda v, w: jnp.sum(
+            jax.lax.fori_loop(0, iters, body, (v, w))[1]))
+        w0 = fn(u)
+        float(f(u, w0))  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(f(u, w0))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    per_cold = max((cold_loop(hi) - cold_loop(lo)) / (hi - lo), 1e-9)
     gdofs = n**3 / per_apply / 1e9
+    gdofs_cold = n**3 / per_cold / 1e9
     bpd = 2 * jnp.dtype(dtype).itemsize  # 1 read + 1 write per DoF, fused
     sol = _hbm_gbps() / bpd              # speed-of-light GDoF/s
     return {"stencil_gdofs": gdofs, "stencil_roofline_frac": gdofs / sol,
+            "stencil_gdofs_cold": gdofs_cold,
+            "stencil_roofline_frac_cold": gdofs_cold / sol,
             "stencil_time_per_apply_ms": per_apply * 1e3,
             "stencil_impl": "pallas" if on_tpu else "roll"}
 
@@ -223,7 +249,9 @@ def main() -> int:
         "metric": f"stencil_gdofs_{n}",
         "value": round(st["stencil_gdofs"], 3),
         "unit": "GDoF/s",
-        "vs_baseline": round(st["stencil_roofline_frac"], 4),
+        # the reference publishes no timings (BASELINE.md), so this is the
+        # *cold-pass* HBM-roofline fraction — conservative by construction
+        "vs_baseline": round(st["stencil_roofline_frac_cold"], 4),
         **{k: (float(f"{v:.6g}") if isinstance(v, float) else v)
            for k, v in {**st, **mg, **td, **cp, **ft, **info}.items()},
     }

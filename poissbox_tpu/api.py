@@ -66,7 +66,7 @@ class PoissonSolver:
         self.dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64
                                else jnp.float32)
         self._solver = make_solver(self.A, options, grid.n, grid.deltas,
-                                   self.dtype)
+                                   self.dtype, grid=grid)
         self._solver_jit = jax.jit(self._solver)
 
     # -- fields ------------------------------------------------------------
@@ -90,7 +90,7 @@ class PoissonSolver:
         """f64-accurate solve by mixed-precision iterative refinement:
         fast-dtype MG-CG corrections, f64 true residuals."""
         M = make_mg_preconditioner(self.grid.n, self.grid.deltas, MGConfig(),
-                                   dtype=jnp.float32)
+                                   dtype=jnp.float32, grid=self.grid)
         inner = jax.jit(lambda r: cg(self.A, r, M=M,
                                      rtol=1e-6, max_it=50))
         return refine(self.A, inner, b, rtol=rtol, max_outer=max_outer)

@@ -44,6 +44,12 @@ def save(path: str, state: Mapping[str, Any], force: bool = True) -> str:
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(path, dict(state), force=force)
         return path
+    if jax.process_count() > 1:
+        # np.asarray would gather every shard to this host (OOM / wrong on
+        # multi-host); Orbax writes shards per-host and is required here
+        raise RuntimeError(
+            "multi-host checkpointing requires orbax-checkpoint (the numpy "
+            "fallback would gather sharded arrays to one host)")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     np.savez(path + ".npz", **{k: np.asarray(v) for k, v in state.items()})
     return path + ".npz"

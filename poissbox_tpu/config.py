@@ -106,6 +106,7 @@ class SolverOptions:
     """
 
     ksp_type: str = "gmres"
+    ksp_norm_type: str = "unpreconditioned"  # unpreconditioned | natural (cg)
     ksp_rtol: float = 1.0e-5
     ksp_atol: float = 1.0e-50
     ksp_max_it: int = 10000

@@ -89,11 +89,21 @@ def run(opts: Options) -> float:
     tol = 1000 * float(jnp.finfo(b.dtype).eps)
     assert float(delta) < tol * float(jnp.linalg.norm(b.ravel())) + tol
 
-    # check_matrices: every operator implementation must agree
-    for impl in ("pointwise",):
-        Ai = make_laplacian_operator(grid, impl=impl)
-        d = jnp.linalg.norm((A(x_exact) - Ai(x_exact)).ravel())
-        print(f"check_matrices[{impl}]: ||A x - P x||_2 = {float(d):.3e}")
+    # check_matrices: every operator view must agree — matrix-free
+    # formulations AND the assembled StencilMatrix, like the reference's
+    # ||Ax - Px|| check against the assembled matrix (example.f90:235-261)
+    from poissbox_tpu.ops.assemble import assemble_laplacian
+    Ax = A(x_exact)
+    views = {"pointwise": make_laplacian_operator(grid, impl="pointwise"),
+             "roll": make_laplacian_operator(grid, impl="roll"),
+             "assembled": assemble_laplacian(grid.n, grid.deltas, b.dtype)}
+    if devices[0].platform == "tpu" and (grid.mesh is None
+                                         or grid.mesh.size == 1):
+        views["pallas"] = make_laplacian_operator(grid, impl="pallas")
+    for name, Ai in views.items():
+        d = float(jnp.linalg.norm((Ax - Ai(x_exact)).ravel()))
+        print(f"check_matrices[{name}]: ||A x - P x||_2 = {d:.3e}")
+        assert d < tol * float(jnp.linalg.norm(Ax.ravel())) + tol, (name, d)
 
     # -- solve (reference example.f90:78-84) -------------------------------
     if not opts.has("ksp_type"):
@@ -102,7 +112,7 @@ def run(opts: Options) -> float:
         opts.set("pc_type", "mg")
     sopts = SolverOptions.from_options(opts)
     t0 = time.perf_counter()
-    res = solve(A, b, sopts, shape=grid.n, deltas=grid.deltas)
+    res = solve(A, b, sopts, grid=grid)
     jax.block_until_ready(res.x)
     dt = time.perf_counter() - t0
 

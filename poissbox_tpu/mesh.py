@@ -37,13 +37,21 @@ def init_distributed(coordinator_address: Optional[str] = None,
     when no arguments are given) so `jax.devices()` spans all hosts and
     collectives ride ICI/DCN.
     """
-    if jax.process_count() > 1:
+    # NB: do not touch jax.process_count()/jax.devices() here — that would
+    # initialize the single-process backend and make distributed init
+    # impossible ("must be called before any JAX computations").
+    from jax._src import distributed as _dist
+    if _dist.global_state.client is not None:
         return  # already initialized
+    explicit = coordinator_address is not None
     try:
         jax.distributed.initialize(coordinator_address, num_processes,
                                    process_id)
     except (ValueError, RuntimeError):
-        pass  # single-process environment
+        if explicit:
+            raise  # explicit cluster parameters must not fail silently
+        # zero-arg auto-detection legitimately fails on plain single-process
+        # environments (no cluster env vars) — run single-process
 
 
 def make_device_mesh(

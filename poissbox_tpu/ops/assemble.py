@@ -70,11 +70,18 @@ class StencilMatrix:
         MatGetRow-style introspection."""
         box = np.asarray(self.box)
         nx, ny, nz = self.shape
-        return {
-            ((i + di) % nx, (j + dj) % ny, (k + dk) % nz): float(box[di + 1, dj + 1, dk + 1])
-            for di in (-1, 0, 1) for dj in (-1, 0, 1) for dk in (-1, 0, 1)
-            if box[di + 1, dj + 1, dk + 1] != 0.0
-        }
+        # accumulate: on an axis of extent <= 2 the periodic +1/-1 offsets
+        # wrap onto the same column, so their coefficients must sum
+        out: dict[tuple[int, int, int], float] = {}
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                for dk in (-1, 0, 1):
+                    v = float(box[di + 1, dj + 1, dk + 1])
+                    if v == 0.0:
+                        continue
+                    key = ((i + di) % nx, (j + dj) % ny, (k + dk) % nz)
+                    out[key] = out.get(key, 0.0) + v
+        return out
 
     def to_dense(self) -> np.ndarray:
         """Dense (N, N) matrix, N = prod(shape). For coarse/direct solves

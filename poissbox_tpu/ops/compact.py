@@ -90,8 +90,17 @@ def _toeplitz_factor(n: int, alpha: float, dtype_name: str, method: str):
         c = jnp.full((n,), alpha, dt)
         if method == "pallas":
             from poissbox_tpu.ops.tridiag_pallas import PallasTridiagFactor
-            return PallasTridiagFactor(a, b, c, periodic=True)
-        return TridiagFactor(a, b, c, periodic=True, method=method)
+            fac = PallasTridiagFactor(a, b, c, periodic=True)
+        else:
+            fac = TridiagFactor(a, b, c, periodic=True, method=method)
+    # strip device arrays to host numpy: a cached factor built inside one
+    # trace context (e.g. a shard_map body on some mesh) must not leak that
+    # context's aval mesh into later traces on a different mesh
+    import numpy as _np
+    for k, v in list(vars(fac).items()):
+        if isinstance(v, jax.Array):
+            setattr(fac, k, _np.asarray(v))
+    return fac
 
 
 def _default_method() -> str:
@@ -175,6 +184,57 @@ def _use_layout_cycling(method: str) -> bool:
             or (method == "auto" and _default_method() == "pallas"))
 
 
+# -- fused multi-operator kernels (TPU) --------------------------------------
+#
+# The sweeps of grad/div/lapl repeatedly read the same line block: grad's Z
+# sweep evaluates interp_1d AND grad_1d of one field, the Laplacian's X
+# sweeps compose two operators along the same axis, and div's final Z sweep
+# is op(f1 + f2) + op'(f3). ops.tridiag_pallas provides fused kernels for
+# each shape (compact_dual / compact_chain / compact_sum) that keep the
+# lines VMEM-resident and cut the HBM passes ~in half.
+
+def _op(coeffs: CompactCoeffs, stagger: int):
+    """(factor-key, rhs-spec) of one staggered compact operator."""
+    shift = 0 if stagger == -1 else 1
+    return float(coeffs.alpha), (coeffs.a, coeffs.b, coeffs.opsign, shift)
+
+
+def _pfac(n: int, alpha: float, dtype):
+    return _toeplitz_factor(n, alpha, jnp.dtype(dtype).name, "pallas")
+
+
+def _fused_ok(f: Array, method: str) -> bool:
+    return (_use_layout_cycling(method) and f.ndim == 3
+            and f.size // f.shape[0] >= 1024)
+
+
+def _dual(f: Array, op1, op2):
+    """(op1(f), op2(f)) along axis 0, one fused kernel."""
+    from poissbox_tpu.ops.tridiag_pallas import compact_dual
+    (al1, s1), (al2, s2) = op1, op2
+    n = f.shape[0]
+    return compact_dual(f, _pfac(n, al1, f.dtype), s1,
+                        _pfac(n, al2, f.dtype), s2)
+
+
+def _chain(f: Array, op1, op2):
+    """op2(op1(f)) along axis 0, one fused kernel."""
+    from poissbox_tpu.ops.tridiag_pallas import compact_chain
+    (al1, s1), (al2, s2) = op1, op2
+    n = f.shape[0]
+    return compact_chain(f, _pfac(n, al1, f.dtype), s1,
+                         _pfac(n, al2, f.dtype), s2)
+
+
+def _sum2(fa: Array, fb: Array, f3: Array, op1, op2):
+    """op1(fa + fb) + op2(f3) along axis 0, one fused kernel."""
+    from poissbox_tpu.ops.tridiag_pallas import compact_sum
+    (al1, s1), (al2, s2) = op1, op2
+    n = fa.shape[0]
+    return compact_sum(fa, fb, f3, _pfac(n, al1, fa.dtype), s1,
+                       _pfac(n, al2, fa.dtype), s2)
+
+
 def grad(f: Array, deltas: Sequence[float], method: str = "auto") -> Array:
     """Staggered gradient tensor of a cell-centered field: (nx, ny, nz, 3).
 
@@ -183,6 +243,19 @@ def grad(f: Array, deltas: Sequence[float], method: str = "auto") -> Array:
     src/compact_schemes.f90:42-88).
     """
     dx, dy, dz = deltas
+    if _fused_ok(f, method):
+        # dual kernels: interp+grad of one resident read per shared sweep
+        op_i = _op(compact_interp_coeffs(), -1)
+        fz = _cyc(f)                                   # (z, x, y)
+        fz_i, fz_d = _dual(fz, op_i, _op(compact_grad_coeffs(dz), -1))
+        yi, yd = _cyc(fz_i), _cyc(fz_d)                # (y, z, x)
+        c1, c2 = _dual(yi, op_i, _op(compact_grad_coeffs(dy), -1))
+        c3 = interp_1d(yd, axis=0, method=method)
+        x1, x2, x3 = _cyc(c1), _cyc(c2), _cyc(c3)      # (x, y, z)
+        g1 = grad_1d(x1, dx, axis=0, method=method)
+        g2 = interp_1d(x2, axis=0, method=method)
+        g3 = interp_1d(x3, axis=0, method=method)
+        return jnp.stack([g1, g2, g3], axis=-1)
     if _use_layout_cycling(method) and f.ndim == 3:
         fz = _cyc(f)                                   # (z, x, y)
         fz_i = interp_1d(fz, axis=0, method=method)
@@ -228,9 +301,16 @@ def div(F: Array, deltas: Sequence[float], method: str = "auto") -> Array:
         f2 = div_1d(y2, dy, axis=0, method=method)
         f3 = interp_1d_div(y3, axis=0, method=method)
         # Z sweep in (z, y, x); result transposed back to (x, y, z).
-        z12, z3 = _cyc(f1 + f2), _cyc(f3)
-        out = interp_1d_div(z12, axis=0, method=method) \
-            + div_1d(z3, dz, axis=0, method=method)
+        if _fused_ok(f1, method):
+            # one kernel: interp'(f1 + f2) + div'(f3), summed RHS by
+            # linearity (reference src/compact_schemes.f90:247-252)
+            out = _sum2(_cyc(f1), _cyc(f2), _cyc(f3),
+                        _op(compact_interp_coeffs(), +1),
+                        _op(compact_grad_coeffs(dz), +1))
+        else:
+            z12, z3 = _cyc(f1 + f2), _cyc(f3)
+            out = interp_1d_div(z12, axis=0, method=method) \
+                + div_1d(z3, dz, axis=0, method=method)
         return jnp.transpose(out, (2, 1, 0))
     # X sweep (vertex->edge).
     e1 = div_1d(F[..., 0], dx, axis=0, method=method)
@@ -265,5 +345,43 @@ def interp_div(f: Array, method: str = "auto") -> Array:
 
 def lapl(f: Array, deltas: Sequence[float], method: str = "auto") -> Array:
     """6th-order compact Laplacian: div(grad(f)) via staggered
-    cell->vertex->cell evaluation (reference src/compact_schemes.f90:17-37)."""
-    return div(grad(f, deltas, method), deltas, method)
+    cell->vertex->cell evaluation (reference src/compact_schemes.f90:17-37).
+
+    On TPU this runs as a dedicated fused pipeline rather than literal
+    div(grad(...)): the per-component 1-D operator chains are identical to
+    the reference's sweep composition, but shared-input sweeps run as
+    dual-output kernels, the grad_x->div_x (and interp->interp')
+    same-axis pairs run as chained kernels with the intermediate line in
+    VMEM, and the final Z sweep is the summed-RHS kernel — the gradient
+    tensor is never materialized in HBM.
+    """
+    if not _fused_ok(f, method):
+        return div(grad(f, deltas, method), deltas, method)
+    dx, dy, dz = deltas
+    op_i = _op(compact_interp_coeffs(), -1)     # interp, cell->vertex
+    op_ip = _op(compact_interp_coeffs(), +1)    # interp', vertex->cell
+    gz, gy, gx = (_op(compact_grad_coeffs(d), -1) for d in (dz, dy, dx))
+    dvz, dvx = (_op(compact_grad_coeffs(d), +1) for d in (dz, dx))
+
+    # grad Z sweep in (z, x, y): interp + grad of one resident read
+    fz = _cyc(f)
+    fz_i, fz_d = _dual(fz, op_i, gz)
+    # grad Y sweep in (y, z, x)
+    yi, yd = _cyc(fz_i), _cyc(fz_d)
+    c1, c2 = _dual(yi, op_i, gy)
+    c3 = interp_1d(yd, axis=0, method=method)
+    # X sweeps fused across grad and div: comp1 grad_x -> div'_x,
+    # comps 2,3 interp_x -> interp'_x (reference composes the same pairs
+    # through the stacked gradient tensor, src/compact_schemes.f90:32-33)
+    x1, x2, x3 = _cyc(c1), _cyc(c2), _cyc(c3)   # (x, y, z)
+    e1 = _chain(x1, gx, dvx)
+    e2 = _chain(x2, op_i, op_ip)
+    e3 = _chain(x3, op_i, op_ip)
+    # div Y sweep in (y, x, z)
+    y1, y2, y3 = (jnp.moveaxis(e, 1, 0) for e in (e1, e2, e3))
+    f1 = interp_1d(y1, stagger=+1, axis=0, method=method)
+    f2 = grad_1d(y2, dy, stagger=+1, axis=0, method=method)
+    f3 = interp_1d(y3, stagger=+1, axis=0, method=method)
+    # div Z sweep in (z, y, x): interp'(f1 + f2) + div'(f3), one kernel
+    out = _sum2(_cyc(f1), _cyc(f2), _cyc(f3), op_ip, dvz)
+    return jnp.transpose(out, (2, 1, 0))

@@ -70,13 +70,14 @@ def apply_laplacian_pointwise(u: jax.Array, deltas: Sequence[float]) -> jax.Arra
 
 
 def default_impl(shape, mesh=None) -> str:
-    """Pick the stencil implementation: the Pallas kernel on a single TPU
-    device with large-enough planes, the GSPMD roll formulation otherwise
-    (the Pallas kernel is per-device; sharded fields go through shard_map
-    in parallel.dist_stencil)."""
-    single = mesh is None or mesh.size == 1
+    """Pick the stencil implementation: 'dist' (shard_map + ppermute halos,
+    per-device Pallas/roll bulk kernel) on a multi-device mesh, the Pallas
+    kernel on a single TPU device with large-enough planes, the XLA roll
+    formulation otherwise."""
+    if mesh is not None and mesh.size > 1:
+        return "dist"
     on_tpu = jax.devices()[0].platform == "tpu"
-    return "pallas" if (single and on_tpu and min(shape) >= 16) else "roll"
+    return "pallas" if (on_tpu and min(shape) >= 16) else "roll"
 
 
 def make_laplacian_operator(grid, impl: str = "auto"):
@@ -86,28 +87,41 @@ def make_laplacian_operator(grid, impl: str = "auto"):
     operator object exposing apply + diagonal + nullspace — what KSP and the
     MG preconditioner actually consume (reference src/poissbox.f90:206-267).
     `impl`: 'roll' (GSPMD shifted-adds), 'pointwise' (3x3x3 box contraction),
-    or 'pallas' (explicitly tiled kernel, ops.stencil_pallas).
+    'pallas' (explicitly tiled single-device kernel, ops.stencil_pallas), or
+    'dist' (shard_map + ppermute halo corrections around the per-device
+    Pallas/roll kernel — the multi-chip production path,
+    parallel.dist_stencil).
     """
     from poissbox_tpu.linops import LinearOperator, make_nullspace_projector
 
     deltas = grid.deltas
     if impl == "auto":
         impl = default_impl(grid.n, grid.mesh)
+    apply_dot = None
     if impl == "roll":
         apply = lambda u: apply_laplacian(u, deltas)
     elif impl == "pointwise":
         apply = lambda u: apply_laplacian_pointwise(u, deltas)
     elif impl == "pallas":
-        from poissbox_tpu.ops.stencil_pallas import apply_laplacian_pallas
+        from poissbox_tpu.ops.stencil_pallas import (
+            apply_laplacian_dot_pallas,
+            apply_laplacian_pallas,
+        )
         apply = lambda u: apply_laplacian_pallas(u, deltas)
+        apply_dot = lambda u: apply_laplacian_dot_pallas(u, deltas)
+    elif impl == "dist":
+        if grid.mesh is None:
+            raise ValueError("impl='dist' needs a grid with a device mesh")
+        from poissbox_tpu.parallel.dist_stencil import (
+            apply_laplacian_dot_sharded,
+            apply_laplacian_sharded,
+        )
+        apply = lambda u: apply_laplacian_sharded(u, grid)
+        apply_dot = lambda u: apply_laplacian_dot_sharded(u, grid)
     else:
         raise ValueError(f"unknown stencil impl {impl!r}")
 
     diag_val = -2.0 * sum(1.0 / float(d) ** 2 for d in deltas)
-    apply_dot = None
-    if impl == "pallas":
-        from poissbox_tpu.ops.stencil_pallas import apply_laplacian_dot_pallas
-        apply_dot = lambda u: apply_laplacian_dot_pallas(u, deltas)
     return LinearOperator(
         apply=apply,
         diagonal=lambda: jnp.asarray(diag_val),

@@ -137,6 +137,7 @@ def _apply_fwd(w: Array, d: Array, axis: int, method: str) -> Array:
 def _apply_bwd(bmod: Array, c: Array, d: Array, axis: int, method: str) -> Array:
     """x_i = d_i/bmod_i - (c_i/bmod_i) * x_{i+1} — reverse recurrence."""
     axis = axis % d.ndim
+    bmod, c = jnp.asarray(bmod), jnp.asarray(c)
     binv = 1.0 / bmod
     B = d * _coef_shape(binv, d, axis)
     # x_i depends on x_{i+1} with coefficient -c_i/b_i, except the last row.

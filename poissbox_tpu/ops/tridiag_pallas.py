@@ -108,6 +108,97 @@ def _compact_thomas_kernel(w_ref, binv_ref, cb_ref, corr_ref, f_ref, out_ref,
     _bwd_and_corr(binv_ref, cb_ref, corr_ref, out_ref, n)
 
 
+def _rhs_taps(f_at, n, a, b, opsign, shift):
+    """Staggered compact RHS row evaluator from a tap accessor
+    f_at(row) (reference eval_1d_rhs, src/compact_schemes.f90:332-372)."""
+    s = float(opsign)
+
+    def rhs(i):
+        return (a * (f_at((i + shift) % n) + s * f_at((i + shift - 1) % n))
+                + b * (f_at((i + shift + 1) % n)
+                       + s * f_at((i + shift - 2) % n)))
+
+    return rhs
+
+
+def _compact_thomas2_kernel(w1, binv1, cb1, corr1, w2, binv2, cb2, corr2,
+                            f_ref, out1_ref, out2_ref, *, spec1, spec2):
+    """Dual fused compact apply: TWO operators (different coefficient sets
+    AND factorizations — e.g. grad_1d + interp_1d of the same sweep,
+    reference src/compact_schemes.f90:60-66) from ONE resident read of the
+    field block. Both forward recurrences advance in the same loop step
+    (independent), so the per-row loop overhead is amortized 2x and HBM
+    traffic is 3 passes (read f, write 2) instead of 4."""
+    n = f_ref.shape[0]
+    rhs1 = _rhs_taps(lambda i: f_ref[i], n, *spec1)
+    rhs2 = _rhs_taps(lambda i: f_ref[i], n, *spec2)
+    out1_ref[0] = rhs1(0)
+    out2_ref[0] = rhs2(0)
+
+    def fwd(i, _):
+        out1_ref[i] = rhs1(i) - w1[i] * out1_ref[i - 1]
+        out2_ref[i] = rhs2(i) - w2[i] * out2_ref[i - 1]
+        return 0
+
+    jax.lax.fori_loop(1, n, fwd, 0)
+    _bwd_and_corr(binv1, cb1, corr1, out1_ref, n)
+    _bwd_and_corr(binv2, cb2, corr2, out2_ref, n)
+
+
+def _compact_chain_kernel(w1, binv1, cb1, corr1, w2, binv2, cb2, corr2,
+                          f_ref, out_ref, mid_ref, *, spec1, spec2):
+    """Chained fused compact apply: op2(op1(f)) along the SAME axis — the
+    grad_x -> div_x (and interp -> interp') pairs of the compact Laplacian
+    (reference src/compact_schemes.f90:32-33 composes div(grad)). The
+    intermediate line lives in VMEM scratch; HBM traffic is the 2-pass
+    minimum (read f, write out) instead of 4."""
+    n = f_ref.shape[0]
+    rhs1 = _rhs_taps(lambda i: f_ref[i], n, *spec1)
+    mid_ref[0] = rhs1(0)
+
+    def fwd1(i, _):
+        mid_ref[i] = rhs1(i) - w1[i] * mid_ref[i - 1]
+        return 0
+
+    jax.lax.fori_loop(1, n, fwd1, 0)
+    _bwd_and_corr(binv1, cb1, corr1, mid_ref, n)
+
+    rhs2 = _rhs_taps(lambda i: mid_ref[i], n, *spec2)
+    out_ref[0] = rhs2(0)
+
+    def fwd2(i, _):
+        out_ref[i] = rhs2(i) - w2[i] * out_ref[i - 1]
+        return 0
+
+    jax.lax.fori_loop(1, n, fwd2, 0)
+    _bwd_and_corr(binv2, cb2, corr2, out_ref, n)
+
+
+def _compact_sum_kernel(w1, binv1, cb1, corr1, w2, binv2, cb2, corr2,
+                        fa_ref, fb_ref, f3_ref, out_ref, acc_ref,
+                        *, spec1, spec2):
+    """Final-sweep fusion of the compact divergence (reference
+    src/compact_schemes.f90:247-252): out = op1(fa + fb) + op2(f3) in one
+    kernel — the summed RHS uses linearity (rhs(fa+fb) = taps of fa + fb
+    read per row), both solves run fused, and the two results add in VMEM.
+    HBM: 3 reads + 1 write instead of ~9 passes for the unfused chain."""
+    n = fa_ref.shape[0]
+    rhs1 = _rhs_taps(lambda i: fa_ref[i] + fb_ref[i], n, *spec1)
+    rhs2 = _rhs_taps(lambda i: f3_ref[i], n, *spec2)
+    acc_ref[0] = rhs1(0)
+    out_ref[0] = rhs2(0)
+
+    def fwd(i, _):
+        acc_ref[i] = rhs1(i) - w1[i] * acc_ref[i - 1]
+        out_ref[i] = rhs2(i) - w2[i] * out_ref[i - 1]
+        return 0
+
+    jax.lax.fori_loop(1, n, fwd, 0)
+    _bwd_and_corr(binv1, cb1, corr1, acc_ref, n)
+    _bwd_and_corr(binv2, cb2, corr2, out_ref, n)
+    out_ref[:] = out_ref[:] + acc_ref[:]
+
+
 def _launch_tridiag(kernel, w, binv, cb, corr, d, ty: int, tz: int) -> Array:
     n, ny, nz = d.shape
     smem = lambda length: pl.BlockSpec(
@@ -142,6 +233,104 @@ def _solve_compact_blocks(w, binv, cb, corr, f, ty: int, tz: int,
     kernel = functools.partial(_compact_thomas_kernel, a=a, b=b,
                                opsign=opsign, shift=shift)
     return _launch_tridiag(kernel, w, binv, cb, corr, f, ty, tz)
+
+
+def _fused_tiles(n: int, ny: int, nz: int, itemsize: int,
+                 nblocks: int) -> tuple[int, int]:
+    """(ty, tz) for the multi-block fused kernels: `nblocks` counts
+    double-buffered VMEM blocks of (n, ty, tz) in flight."""
+    budget = 17 * 1024 * 1024
+    tz = min(nz, 256)
+    while nz % tz:
+        tz //= 2
+    ty = min(ny, 16)
+    while ny % ty:
+        ty //= 2
+    while ty > 1 and nblocks * n * ty * tz * itemsize > budget:
+        ty //= 2
+    return max(ty, 1), max(tz, 1)
+
+
+def _factor_smem_args(fac) -> tuple:
+    return tuple(jnp.asarray(v) for v in (fac.w, fac.binv, fac.cb, fac.corr))
+
+
+def _launch_fused(kernel, smem_lens, vmem_in, n_out, scratch, args,
+                  ty: int, tz: int):
+    n, ny, nz = vmem_in[0].shape
+    dtype = vmem_in[0].dtype
+    smem = lambda length: pl.BlockSpec(
+        (length,), lambda j, k: (0,), memory_space=pltpu.SMEM)
+    vblk = pl.BlockSpec((n, ty, tz), lambda j, k: (0, j, k),
+                        memory_space=pltpu.VMEM)
+    out_shape = tuple(jax.ShapeDtypeStruct(vmem_in[0].shape, dtype)
+                      for _ in range(n_out))
+    passes = len(vmem_in) + n_out
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape[0] if n_out == 1 else out_shape,
+        grid=(ny // ty, nz // tz),
+        in_specs=[smem(le) for le in smem_lens] + [vblk] * len(vmem_in),
+        out_specs=vblk if n_out == 1 else (vblk,) * n_out,
+        scratch_shapes=[pltpu.VMEM((n, ty, tz), dtype)] * scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=5 * passes * vmem_in[0].size,
+            bytes_accessed=passes * vmem_in[0].size * dtype.itemsize,
+            transcendentals=0),
+        interpret=jax.default_backend() != "tpu",
+    )(*args, *vmem_in)
+
+
+@functools.partial(jax.jit, static_argnames=("spec1", "spec2", "ty", "tz"))
+def _dual_blocks(s1, s2, f, spec1, spec2, ty, tz):
+    kernel = functools.partial(_compact_thomas2_kernel, spec1=spec1,
+                               spec2=spec2)
+    lens = (len(s1[0]), len(s1[1]), len(s1[2]), len(s1[3])) * 2
+    return _launch_fused(kernel, lens, [f], 2, 0, s1 + s2, ty, tz)
+
+
+@functools.partial(jax.jit, static_argnames=("spec1", "spec2", "ty", "tz"))
+def _chain_blocks(s1, s2, f, spec1, spec2, ty, tz):
+    kernel = functools.partial(_compact_chain_kernel, spec1=spec1,
+                               spec2=spec2)
+    lens = (len(s1[0]), len(s1[1]), len(s1[2]), len(s1[3])) * 2
+    return _launch_fused(kernel, lens, [f], 1, 1, s1 + s2, ty, tz)
+
+
+@functools.partial(jax.jit, static_argnames=("spec1", "spec2", "ty", "tz"))
+def _sum_blocks(s1, s2, fa, fb, f3, spec1, spec2, ty, tz):
+    kernel = functools.partial(_compact_sum_kernel, spec1=spec1, spec2=spec2)
+    lens = (len(s1[0]), len(s1[1]), len(s1[2]), len(s1[3])) * 2
+    return _launch_fused(kernel, lens, [fa, fb, f3], 1, 1, s1 + s2, ty, tz)
+
+
+def compact_dual(f: Array, fac1, spec1, fac2, spec2) -> tuple[Array, Array]:
+    """(op1(f), op2(f)) along axis 0 of a lines-major 3-D field — one fused
+    kernel pass (3 HBM passes for two operators). spec = (a, b, opsign,
+    shift) of the staggered compact RHS; fac = the operator's
+    PallasTridiagFactor."""
+    n, ny, nz = f.shape
+    ty, tz = _fused_tiles(n, ny, nz, f.dtype.itemsize, 6)
+    return _dual_blocks(_factor_smem_args(fac1), _factor_smem_args(fac2),
+                        f, tuple(spec1), tuple(spec2), ty, tz)
+
+
+def compact_chain(f: Array, fac1, spec1, fac2, spec2) -> Array:
+    """op2(op1(f)) along axis 0 — both solves in one kernel with the
+    intermediate line in VMEM scratch (2 HBM passes total)."""
+    n, ny, nz = f.shape
+    ty, tz = _fused_tiles(n, ny, nz, f.dtype.itemsize, 5)
+    return _chain_blocks(_factor_smem_args(fac1), _factor_smem_args(fac2),
+                         f, tuple(spec1), tuple(spec2), ty, tz)
+
+
+def compact_sum(fa: Array, fb: Array, f3: Array, fac1, spec1,
+                fac2, spec2) -> Array:
+    """op1(fa + fb) + op2(f3) along axis 0 in one kernel (4 HBM passes)."""
+    n, ny, nz = fa.shape
+    ty, tz = _fused_tiles(n, ny, nz, fa.dtype.itemsize, 9)
+    return _sum_blocks(_factor_smem_args(fac1), _factor_smem_args(fac2),
+                       fa, fb, f3, tuple(spec1), tuple(spec2), ty, tz)
 
 
 class PallasTridiagFactor:

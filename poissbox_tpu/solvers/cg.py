@@ -47,6 +47,7 @@ def cg(
     rtol: float = 1.0e-5,
     atol: float = 1.0e-50,
     max_it: int = 500,
+    norm_type: str = "unpreconditioned",
 ) -> SolveResult:
     """Solve A x = b by (preconditioned) CG.
 
@@ -56,12 +57,22 @@ def cg(
       b: right-hand side field.
       x0: initial guess (zero if omitted).
       M: preconditioner closure z = M(r) (identity if omitted).
-      rtol/atol/max_it: PETSc-default-style stopping controls
-        (reference README.md:48: default rtol 1e-5 via `-ksp_rtol`).
+      rtol/atol/max_it: stopping controls (reference README.md:48: default
+        rtol 1e-5 via `-ksp_rtol`).
+      norm_type: residual norm monitored for convergence, relative to ||b||.
+        'unpreconditioned' (default) uses the true ||r||_2 — a deliberate
+        deviation from PETSc KSPCG (whose default norm involves the
+        preconditioner) chosen because the demo/tests verify the *true*
+        residual; 'natural' uses sqrt(<r, M r>) (PETSc KSP_NORM_NATURAL),
+        which costs no extra reduction since CG already forms <r, z>.
 
-    Returns a :class:`SolveResult`; `history[i]` is ||r_i||_2 (NaN past the
-    final iteration so the pytree has static shape under jit).
+    Returns a :class:`SolveResult`; `history[i]` is the monitored norm at
+    iteration i (NaN past the final iteration so the pytree has static
+    shape under jit).
     """
+    if norm_type not in ("unpreconditioned", "natural"):
+        raise ValueError(f"unknown norm_type {norm_type!r} "
+                         "(expected unpreconditioned|natural)")
     x = jnp.zeros_like(b) if x0 is None else x0
     # Singular consistency: remove the null-space component from b and x
     # (PETSc removes it from the RHS when a MatNullSpace is attached).
@@ -70,14 +81,18 @@ def cg(
 
     precond = M if M is not None else (lambda v: v)
 
+    natural = norm_type == "natural"
     r = b - A(x)
     z = A.project(precond(r))
     p = z
     rz = _dot(r, z)
-    rnorm0 = jnp.sqrt(_dot(r, r))
-    # PETSc KSPConvergedDefault semantics: relative to ||b|| (equals the
-    # initial residual for a zero guess; correct for warm/resumed starts)
-    bnorm = jnp.sqrt(_dot(b, b))
+    rnorm0 = jnp.sqrt(rz) if natural else jnp.sqrt(_dot(r, r))
+    # Convergence is relative to ||b|| (KSPConvergedDefault-style; equals
+    # the initial residual for a zero guess, correct for warm starts). In
+    # the natural norm, evaluating sqrt(<b, M b>) would cost an extra
+    # preconditioner application, so the initial natural residual stands in
+    # (PETSc's KSPConvergedDefaultSetUIRNorm variant).
+    bnorm = rnorm0 if natural else jnp.sqrt(_dot(b, b))
 
     hist = jnp.full((max_it + 1,), jnp.nan, dtype=b.dtype)
     hist = hist.at[0].set(rnorm0)
@@ -89,6 +104,16 @@ def cg(
         not_done = (s.resnorm > rtol_ * bnorm) & (s.resnorm > atol_)
         ok = jnp.isfinite(s.resnorm)
         return not_done & ok & (s.k < max_it)
+
+    # The null-space projection of the preconditioned residual is rank-one
+    # (z = v - mean(v)), so it folds into the reductions instead of costing
+    # its own memory passes:  <r, z> = <r, v> - mean(v) * sum(r)  and the
+    # search-direction update applies the mean shift inline. XLA then fuses
+    # the sibling reductions (<r,v>, sum v, sum r) into one pass over (r, v)
+    # and the r-update with the ||r||^2 reduction — the CG vector algebra
+    # runs in ~13 field passes per iteration instead of 20.
+    project_z = A.nullspace is not None
+    inv_n = 1.0 / b.size
 
     def body(s: _CGState) -> _CGState:
         if A.apply_dot is not None:
@@ -105,11 +130,26 @@ def cg(
         alpha = jnp.where(ok, s.rz / jnp.where(ok, pAp, 1.0), 0.0)
         x = s.x + alpha * s.p
         r = s.r - alpha * Ap
-        z = A.project(precond(r))
-        rz_new = _dot(r, z)
+        v = precond(r)
+        if M is None:
+            rr = _dot(r, r)
+            rv, sv, sr = rr, jnp.sum(r), None
+        else:
+            rv = _dot(r, v)
+            sv = jnp.sum(v)
+            sr = jnp.sum(r)
+            rr = None if natural else _dot(r, r)
+        if project_z:
+            rz_new = rv - sv * ((sv if sr is None else sr) * inv_n)
+            zshift = sv * inv_n
+        else:
+            rz_new = rv
+            zshift = 0.0
         beta = jnp.where(ok, rz_new / jnp.where(ok, s.rz, 1.0), 0.0)
-        p = z + beta * s.p
-        resnorm = jnp.where(ok, jnp.sqrt(_dot(r, r)), jnp.zeros_like(s.resnorm))
+        p = (v - zshift) + beta * s.p
+        norm = (jnp.sqrt(jnp.maximum(rz_new, 0.0)) if natural
+                else jnp.sqrt(rr))
+        resnorm = jnp.where(ok, norm, jnp.zeros_like(s.resnorm))
         k = s.k + 1
         hist = s.hist.at[k].set(resnorm)
         return _CGState(x, r, p, rz_new, resnorm, k, hist)

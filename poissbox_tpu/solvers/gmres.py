@@ -82,13 +82,25 @@ def gmres(
     def target(_rn0):
         return jnp.maximum(rtol_ * bnorm, atol_)
 
+    use_fused = M is None and A.apply_dot is not None
+
     def arnoldi_step(j: Array, s: _CycleState) -> _CycleState:
         active = (s.resnorm > target(rnorm0)) & (j == s.jdone)
 
-        w = pres(A(s.V[j]))
+        if use_fused:
+            # unpreconditioned: the fused matvec+dot kernel returns
+            # <V_j, A V_j> for free — exactly the j-th MGS coefficient
+            Av, vAv = A.apply_dot(s.V[j])
+            w = A.project(Av)
+        else:
+            w = pres(A(s.V[j]))
         # Modified-Gram–Schmidt against the whole (zero-padded) basis: rows
         # beyond j are zero so they contribute nothing.
         h = jnp.tensordot(s.V, w, axes=(fdims, tuple(range(b.ndim))))
+        if use_fused:
+            # the projection is rank-one (constant mean removal) and V_j is
+            # mean-free, so <V_j, project(A V_j)> == <V_j, A V_j>
+            h = h.at[j].set(vAv)
         w = w - jnp.tensordot(h, s.V, axes=((0,), (0,)))
         hnext = jnp.sqrt(jnp.sum(w * w))
         vnext = w / jnp.maximum(hnext, tiny)

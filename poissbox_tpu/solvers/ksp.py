@@ -33,6 +33,7 @@ def make_preconditioner(
     shape: Optional[Sequence[int]] = None,
     deltas: Optional[Sequence[float]] = None,
     dtype=jnp.float64,
+    grid=None,
 ) -> Optional[Callable[[Array], Array]]:
     """Build the preconditioner closure selected by `pc_type`."""
     if opts.pc_type in ("none", ""):
@@ -49,11 +50,18 @@ def make_preconditioner(
         if opts.mg_levels_ksp_type == "chebyshev":
             # PETSc expresses Chebyshev as the level KSP type
             smoother = "chebyshev"
+        # `-mg_levels_ksp_rtol` semantics: the level solve stops at rtol or
+        # max_it, whichever binds first — statically calibrated to a fixed
+        # sweep count via the smoother's smoothing factor (see
+        # solvers.mg.sweeps_for_level_rtol)
+        from poissbox_tpu.solvers.mg import sweeps_for_level_rtol
+        sweeps = sweeps_for_level_rtol(smoother, opts.mg_levels_ksp_rtol,
+                                       opts.mg_levels_ksp_max_it)
         cfg = MGConfig(
             levels=opts.mg_levels,
             smoother=smoother,
-            pre_smooth=opts.mg_levels_ksp_max_it,
-            post_smooth=opts.mg_levels_ksp_max_it,
+            pre_smooth=sweeps,
+            post_smooth=sweeps,
             damping=None if opts.mg_levels_damping == 1.0
             and opts.mg_levels_pc_type == "jacobi" else opts.mg_levels_damping,
             coarse=opts.mg_coarse_pc_type,
@@ -61,7 +69,7 @@ def make_preconditioner(
             impl=opts.mg_impl,
             cycles=opts.mg_cycles,
         )
-        return make_mg_preconditioner(shape, deltas, cfg, dtype)
+        return make_mg_preconditioner(shape, deltas, cfg, dtype, grid=grid)
     raise ValueError(f"unknown pc_type {opts.pc_type!r} (expected none|jacobi|mg)")
 
 
@@ -71,6 +79,7 @@ def make_solver(
     shape: Optional[Sequence[int]] = None,
     deltas: Optional[Sequence[float]] = None,
     dtype=jnp.float64,
+    grid=None,
 ) -> Callable[[Array], SolveResult]:
     """Assemble a jit-compatible `solve(b) -> SolveResult` closure."""
     if opts is None:
@@ -80,13 +89,17 @@ def make_solver(
 
     # direct solvers take no preconditioner — skip the (possibly
     # expensive) MG setup entirely
+    if grid is not None:
+        shape = grid.n if shape is None else shape
+        deltas = grid.deltas if deltas is None else deltas
     M = (None if opts.ksp_type == "fft"
-         else make_preconditioner(A, opts, shape, deltas, dtype))
+         else make_preconditioner(A, opts, shape, deltas, dtype, grid=grid))
     common = dict(M=M, rtol=opts.ksp_rtol, atol=opts.ksp_atol,
                   max_it=opts.ksp_max_it)
 
     if opts.ksp_type == "cg":
-        return lambda b, x0=None: cg(A, b, x0, **common)
+        return lambda b, x0=None: cg(A, b, x0, norm_type=opts.ksp_norm_type,
+                                     **common)
     if opts.ksp_type == "gmres":
         return lambda b, x0=None: gmres(A, b, x0, restart=opts.gmres_restart,
                                         **common)
@@ -108,6 +121,7 @@ def solve(
     x0: Optional[Array] = None,
     shape: Optional[Sequence[int]] = None,
     deltas: Optional[Sequence[float]] = None,
+    grid=None,
 ) -> SolveResult:
     """One-shot options-driven solve (KSPSolve analogue).
 
@@ -117,7 +131,7 @@ def solve(
     if isinstance(opts, Options):
         opts = SolverOptions.from_options(opts)
     opts = opts or SolverOptions()
-    result = make_solver(A, opts, shape, deltas, b.dtype)(b, x0)
+    result = make_solver(A, opts, shape, deltas, b.dtype, grid=grid)(b, x0)
     if opts.ksp_monitor:
         for line in result.monitor_lines():
             print(line)

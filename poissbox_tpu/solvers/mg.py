@@ -60,23 +60,74 @@ class MGConfig:
     transfers: str = "auto"       # restriction/prolongation: auto | roll | matmul
 
 
+# High-frequency contraction factor per sweep, used to translate the
+# reference's level-solve rtol (`-mg_levels_ksp_rtol`, reference
+# README.md:43-44) into an equivalent *static* sweep count. In MG the level
+# solve only has to damp the modes the coarse grid cannot represent, so the
+# smoothing factor (not the full-spectrum solve rate, which is O(1 - h^2))
+# is the right contraction: RB-SOR(w=1) on the 3-D 7-point operator ~0.25;
+# damped Jacobi near-optimal 3-D damping ~5/7; Chebyshev on the
+# [0.1, 1]*lambda_max interval ~0.52 per degree = ~0.27 per 2-degree sweep.
+_SMOOTHING_FACTOR = {"sor": 0.25, "jacobi": 5.0 / 7.0, "chebyshev": 0.27}
+
+
+def sweeps_for_level_rtol(smoother: str, rtol: float, max_it: int) -> int:
+    """Static sweep count equivalent to a level solve run to `rtol` capped
+    at `max_it` iterations (PETSc stops at whichever binds first).
+
+    Keeping the count static preserves the V-cycle as a fixed linear,
+    symmetric operator — required for (non-flexible) CG — while honoring
+    the rtol semantics of the reference's solver of record.
+    """
+    import math
+
+    mu = _SMOOTHING_FACTOR.get(smoother)
+    if mu is None:
+        raise ValueError(f"unknown smoother {smoother!r}")
+    if not (0.0 < rtol < 1.0):
+        return max_it
+    need = math.ceil(math.log(rtol) / math.log(mu))
+    return max(1, min(int(max_it), need))
+
+
 @dataclasses.dataclass(frozen=True)
 class _Level:
     shape: tuple[int, int, int]
     deltas: tuple[float, float, float]
     diag: float                   # constant stencil diagonal -2*sum(1/d^2)
+    # grid: non-None when the level runs *distributed* (shard_map halo
+    # exchanges around per-device kernels); None = level runs replicated /
+    # single-device. mesh: the device mesh when the whole hierarchy lives
+    # on one (used to pin replicated coarse levels).
+    grid: Optional[object] = None
+    mesh: Optional[object] = None
 
 
 def _use_pallas(lvl: _Level, cfg: MGConfig) -> bool:
+    """Single-device Pallas selection. Distributed levels (lvl.grid) never
+    take this path — their per-device kernel choice happens inside
+    parallel.dist_stencil under shard_map, where pallas_call is legal on a
+    real multi-chip mesh."""
+    if lvl.grid is not None:
+        return False
     impl = cfg.impl
     if impl == "auto":
         impl = default_impl(lvl.shape)
     return impl == "pallas"
 
 
+def _local_impl(cfg: MGConfig) -> str:
+    """Per-device bulk-kernel choice for distributed levels."""
+    return cfg.impl if cfg.impl in ("roll", "pallas") else "auto"
+
+
 def _lapl(x: Array, lvl: _Level, cfg: MGConfig) -> Array:
-    """Level-operator application; fine levels use the tiled Pallas kernel
-    on single-device TPU runs, coarse/sharded levels the GSPMD rolls."""
+    """Level-operator application: distributed correction-form on sharded
+    levels, tiled Pallas kernel on single-device TPU, GSPMD rolls else."""
+    if lvl.grid is not None:
+        from poissbox_tpu.parallel.dist_stencil import apply_laplacian_sharded
+        return apply_laplacian_sharded(x, lvl.grid,
+                                       local_impl=_local_impl(cfg))
     if _use_pallas(lvl, cfg):
         from poissbox_tpu.ops.stencil_pallas import apply_laplacian_pallas
         return apply_laplacian_pallas(x, lvl.deltas)
@@ -84,19 +135,43 @@ def _lapl(x: Array, lvl: _Level, cfg: MGConfig) -> Array:
 
 
 def _residual(x: Array, b: Array, lvl: _Level, cfg: MGConfig) -> Array:
+    if lvl.grid is not None:
+        from poissbox_tpu.parallel.dist_stencil import residual_sharded
+        return residual_sharded(x, b, lvl.grid, local_impl=_local_impl(cfg))
     if _use_pallas(lvl, cfg):
         from poissbox_tpu.ops.stencil_pallas import residual_pallas
         return residual_pallas(x, b, lvl.deltas)
     return b - apply_laplacian(x, lvl.deltas)
 
 
-def _build_levels(shape, deltas, cfg: MGConfig) -> list[_Level]:
+def _level_shardable(n, grid) -> bool:
+    """A level stays distributed while every sharded dim keeps an even
+    local extent (even device offsets keep red-black parity locally
+    computable; see dist_stencil.sor_parity_local_ok)."""
+    if grid is None or grid.mesh is None or grid.mesh.size == 1:
+        return False
+    for nd, name in zip(n, grid.axis_names):
+        p = grid.mesh.shape[name]
+        if p > 1 and (nd % p != 0 or (nd // p) % 2 != 0):
+            return False
+    return True
+
+
+def _build_levels(shape, deltas, cfg: MGConfig, grid=None) -> list[_Level]:
+    import dataclasses as _dc
+
     levels = []
     n = tuple(shape)
     d = tuple(float(x) for x in deltas)
+    mesh = getattr(grid, "mesh", None)
+    if mesh is not None and mesh.size == 1:
+        mesh = None
     while True:
         diag = -2.0 * sum(1.0 / dd**2 for dd in d)
-        levels.append(_Level(n, d, diag))
+        lgrid = None
+        if mesh is not None and _level_shardable(n, grid):
+            lgrid = _dc.replace(grid, n=n)
+        levels.append(_Level(n, d, diag, grid=lgrid, mesh=mesh))
         stop_size = min(n) <= cfg.coarse_size
         stop_div = any(x % 2 for x in n)
         stop_count = cfg.levels > 0 and len(levels) >= cfg.levels
@@ -213,8 +288,15 @@ def _smooth(x: Array, b: Array, lvl: _Level, cfg: MGConfig, sweeps: int,
     """
     inv_diag = 1.0 / lvl.diag
     pallas = _use_pallas(lvl, cfg)
+    dist = lvl.grid is not None
     if cfg.smoother == "jacobi":
         w = 8.0 / 9.0 if cfg.damping is None else cfg.damping
+        if dist:
+            from poissbox_tpu.parallel.dist_stencil import jacobi_sweep_sharded
+            for _ in range(sweeps):
+                x = jacobi_sweep_sharded(x, b, lvl.grid, w,
+                                         local_impl=_local_impl(cfg))
+            return x
         if pallas:
             from poissbox_tpu.ops.stencil_pallas import jacobi_sweep_pallas
             for _ in range(sweeps):
@@ -251,6 +333,13 @@ def _smooth(x: Array, b: Array, lvl: _Level, cfg: MGConfig, sweeps: int,
     if cfg.smoother == "sor":
         w = 1.0 if cfg.damping is None else cfg.damping
         order = [1, 0] if reverse else [0, 1]  # color 0 = red, (i+j+k) even
+        if dist:
+            from poissbox_tpu.parallel.dist_stencil import sor_sweep_sharded
+            for _ in range(sweeps):
+                for color in order:
+                    x = sor_sweep_sharded(x, b, lvl.grid, w, color,
+                                          local_impl=_local_impl(cfg))
+            return x
         if pallas:
             from poissbox_tpu.ops.stencil_pallas import sor_rb_sweep_pallas
             for _ in range(sweeps):
@@ -308,6 +397,19 @@ def _coarse_pinv(lvl: _Level, cfg: MGConfig, dtype) -> Array:
 # V-cycle
 # ---------------------------------------------------------------------------
 
+def _pin(x: Array, lvl: _Level) -> Array:
+    """Pin an array to the level's placement: its grid sharding when the
+    level runs distributed, explicit replication on the mesh otherwise —
+    the deterministic level-transition reshard (coarse levels gather to
+    replicated once too small to shard)."""
+    if lvl.mesh is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec
+    sh = (lvl.grid.sharding if lvl.grid is not None
+          else NamedSharding(lvl.mesh, PartitionSpec()))
+    return jax.lax.with_sharding_constraint(x, sh)
+
+
 def v_cycle(levels: Sequence[_Level], coarse_pinv: Array, cfg: MGConfig,
             b: Array, idx: int = 0) -> Array:
     """One V-cycle for the level-`idx` system A_idx e = b. Pure; levels are
@@ -321,9 +423,12 @@ def v_cycle(levels: Sequence[_Level], coarse_pinv: Array, cfg: MGConfig,
     tr = cfg.transfers
     if tr == "auto":
         tr = "matmul" if jax.devices()[0].platform == "tpu" else "roll"
+    if lvl.grid is not None or levels[idx + 1].grid is not None:
+        tr = "roll"  # matmul transfers contract whole axes (would gather)
     down, up = (restrict_mm, prolong_mm) if tr == "matmul" else (restrict, prolong)
-    ec = v_cycle(levels, coarse_pinv, cfg, down(r), idx + 1)
-    x = x + up(ec)
+    rc = _pin(down(r), levels[idx + 1])
+    ec = v_cycle(levels, coarse_pinv, cfg, rc, idx + 1)
+    x = x + _pin(up(ec), lvl)
     return _smooth(x, b, lvl, cfg, cfg.post_smooth, reverse=True)
 
 
@@ -332,14 +437,18 @@ def make_mg_preconditioner(
     deltas: Sequence[float],
     cfg: MGConfig = MGConfig(),
     dtype=jnp.float64,
+    grid=None,
 ) -> Callable[[Array], Array]:
     """Build M(r) ~= A^{-1} r, a jit-compatible V-cycle closure.
 
     Setup (hierarchy + dense coarse pseudo-inverse) runs once here; the
     returned closure is linear and symmetric, suitable as a CG
-    preconditioner.
+    preconditioner. Pass `grid` (a meshed Grid3D) to run the fine levels
+    distributed — shard_map halo exchanges around per-device kernels, with
+    coarse levels replicated once they are too small to shard (the
+    TPU-native analogue of GAMG's process-count reduction on coarse grids).
     """
-    levels = _build_levels(tuple(shape), tuple(deltas), cfg)
+    levels = _build_levels(tuple(shape), tuple(deltas), cfg, grid=grid)
     pinv = _coarse_pinv(levels[-1], cfg, dtype)
 
     def M(r: Array) -> Array:

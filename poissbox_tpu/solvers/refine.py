@@ -57,7 +57,16 @@ def refine(
 
     Host-driven outer loop (few iterations, each one device-bound inner
     solve); the inner solve is where all the time goes.
+
+    Requires `jax_enable_x64`: without it `astype(float64)` silently yields
+    f32 and the advertised 1e-12 residuals are unreachable.
     """
+    if not jax.config.jax_enable_x64:
+        raise RuntimeError(
+            "iterative refinement needs f64 residual accumulation: enable "
+            "jax.config.update('jax_enable_x64', True) before calling "
+            "refine() (without it the f64 casts silently stay f32 and "
+            f"rtol={rtol:g} cannot be reached)")
     b = A64.project(b.astype(jnp.float64))
     x = jnp.zeros_like(b) if x0 is None else x0.astype(jnp.float64)
     bnorm = float(jnp.linalg.norm(b.ravel()))
