@@ -286,3 +286,17 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def robust_time(fn, u, iters=200, reps=5):
+    """Single long device loop; tunnel overhead amortized to <1%."""
+    import time
+    f = jax.jit(lambda v: jnp.sum(
+        jax.lax.fori_loop(0, iters, lambda _, w: fn(w), v)))
+    float(f(u))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(f(u))
+        best = min(best, time.perf_counter() - t0)
+    return best / iters

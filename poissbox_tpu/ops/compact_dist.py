@@ -47,21 +47,22 @@ def grad(f: Array, grid) -> Array:
     cell-centered sharded field."""
     dx, dy, dz = grid.deltas
     # Z sweep (Z-pencils)
-    fz = to_pencil(f, grid, 2)
+    fz = to_pencil(f, grid, 2, from_dim=None)
     fz_i = _local_1d(lambda v: compact.interp_1d(v, axis=2), grid, 2)(fz)
     fz_d = _local_1d(lambda v: compact.grad_1d(v, dz, axis=2), grid, 2)(fz)
     # Y sweep (Y-pencils)
-    fz_i = to_pencil(fz_i, grid, 1)
-    fz_d = to_pencil(fz_d, grid, 1)
+    fz_i = to_pencil(fz_i, grid, 1, from_dim=2)
+    fz_d = to_pencil(fz_d, grid, 1, from_dim=2)
     c1 = _local_1d(lambda v: compact.interp_1d(v, axis=1), grid, 1)(fz_i)
     c2 = _local_1d(lambda v: compact.grad_1d(v, dy, axis=1), grid, 1)(fz_i)
     c3 = _local_1d(lambda v: compact.interp_1d(v, axis=1), grid, 1)(fz_d)
     # X sweep (X-pencils)
-    c1, c2, c3 = (to_pencil(c, grid, 0) for c in (c1, c2, c3))
+    c1, c2, c3 = (to_pencil(c, grid, 0, from_dim=1) for c in (c1, c2, c3))
     g1 = _local_1d(lambda v: compact.grad_1d(v, dx, axis=0), grid, 0)(c1)
     g2 = _local_1d(lambda v: compact.interp_1d(v, axis=0), grid, 0)(c2)
     g3 = _local_1d(lambda v: compact.interp_1d(v, axis=0), grid, 0)(c3)
-    return jnp.stack([from_pencil(g, grid) for g in (g1, g2, g3)], axis=-1)
+    return jnp.stack([from_pencil(g, grid, from_dim=0)
+                      for g in (g1, g2, g3)], axis=-1)
 
 
 def div(F: Array, grid) -> Array:
@@ -70,21 +71,21 @@ def div(F: Array, grid) -> Array:
     # X sweep (X-pencils)
     dvx = _local_1d(lambda v: compact.div_1d(v, dx, axis=0), grid, 0)
     itx = _local_1d(lambda v: compact.interp_1d_div(v, axis=0), grid, 0)
-    e1 = dvx(to_pencil(F[..., 0], grid, 0))
-    e2 = itx(to_pencil(F[..., 1], grid, 0))
-    e3 = itx(to_pencil(F[..., 2], grid, 0))
+    e1 = dvx(to_pencil(F[..., 0], grid, 0, from_dim=None))
+    e2 = itx(to_pencil(F[..., 1], grid, 0, from_dim=None))
+    e3 = itx(to_pencil(F[..., 2], grid, 0, from_dim=None))
     # Y sweep (Y-pencils)
     dvy = _local_1d(lambda v: compact.div_1d(v, dy, axis=1), grid, 1)
     ity = _local_1d(lambda v: compact.interp_1d_div(v, axis=1), grid, 1)
-    f1 = ity(to_pencil(e1, grid, 1))
-    f2 = dvy(to_pencil(e2, grid, 1))
-    f3 = ity(to_pencil(e3, grid, 1))
+    f1 = ity(to_pencil(e1, grid, 1, from_dim=0))
+    f2 = dvy(to_pencil(e2, grid, 1, from_dim=0))
+    f3 = ity(to_pencil(e3, grid, 1, from_dim=0))
     # Z sweep (Z-pencils)
     dvz = _local_1d(lambda v: compact.div_1d(v, dz, axis=2), grid, 2)
     itz = _local_1d(lambda v: compact.interp_1d_div(v, axis=2), grid, 2)
-    s12 = to_pencil(f1 + f2, grid, 2)
-    out = itz(s12) + dvz(to_pencil(f3, grid, 2))
-    return from_pencil(out, grid)
+    s12 = to_pencil(f1 + f2, grid, 2, from_dim=1)
+    out = itz(s12) + dvz(to_pencil(f3, grid, 2, from_dim=1))
+    return from_pencil(out, grid, from_dim=2)
 
 
 def lapl(f: Array, grid) -> Array:
@@ -97,9 +98,11 @@ def interp(f: Array, grid, stagger: int = -1) -> Array:
     """Distributed tri-directional interpolation, Z->Y->X (reference
     src/compact_schemes.f90:93-142)."""
     out = f
+    prev: int | None = None
     for d in (2, 1, 0):
         op = _local_1d(
             lambda v, d=d: compact.interp_1d(v, stagger=stagger, axis=d),
             grid, d)
-        out = op(to_pencil(out, grid, d))
-    return from_pencil(out, grid)
+        out = op(to_pencil(out, grid, d, from_dim=prev))
+        prev = d
+    return from_pencil(out, grid, from_dim=0)

@@ -54,22 +54,81 @@ def pencil_spec(grid, local_dim: int) -> PartitionSpec:
     ))
 
 
-def to_pencil(f: jax.Array, grid, local_dim: int) -> jax.Array:
+def _entries(spec) -> list[list[str]]:
+    ents = list(spec) + [None] * (3 - len(spec))
+    out = []
+    for e in ents:
+        if e is None:
+            out.append([])
+        elif isinstance(e, tuple):
+            out.append(list(e))
+        else:
+            out.append([e])
+    return out
+
+
+def _as_spec(entries) -> PartitionSpec:
+    return PartitionSpec(*(
+        None if not names else (names[0] if len(names) == 1 else tuple(names))
+        for names in entries))
+
+
+def reshard_chain(f: jax.Array, mesh, from_spec: PartitionSpec,
+                  to_spec: PartitionSpec) -> jax.Array:
+    """Reshard from one layout to another via single-mesh-axis moves.
+
+    XLA's SPMD partitioner lowers a resharding that moves ONE mesh axis
+    between two array dims to an all-to-all, but falls back to full
+    rematerialization (replicate + re-slice) when several axes migrate at
+    once. Decomposing the pencil transposes into single-axis steps keeps
+    every hop an all-to-all over ICI — the 2decomp transpose schedule.
+    """
+    cur = _entries(from_spec)
+    dst = _entries(to_spec)
+    steps: list[PartitionSpec] = []
+    for d in range(3):
+        for n in dst[d]:
+            src = next(i for i, names in enumerate(cur) if n in names)
+            if src == d:
+                continue
+            cur[src].remove(n)
+            cur[d].append(n)
+            steps.append(_as_spec(cur))
+    if not steps or steps[-1] != _as_spec(dst):
+        steps.append(_as_spec(dst))  # within-dim order fix-up / no-op guard
+    for s in steps:
+        f = jax.lax.with_sharding_constraint(f, NamedSharding(mesh, s))
+    return f
+
+
+def to_pencil(f: jax.Array, grid, local_dim: int,
+              from_dim: int | None = -1) -> jax.Array:
     """Repartition so lines along `local_dim` are device-local (the
-    2decomp transpose; an all-to-all under GSPMD)."""
+    2decomp transpose; all-to-alls under GSPMD).
+
+    `from_dim` names the current layout when known — a previous pencil
+    orientation (0/1/2) or None for the home layout — enabling the
+    single-axis-move chain; -1 (unknown) issues one direct constraint.
+    """
     if grid.mesh is None:
         return f
     spec = pencil_spec(grid, local_dim)
-    return jax.lax.with_sharding_constraint(
-        f, NamedSharding(grid.mesh, spec))
+    if from_dim == -1:
+        return jax.lax.with_sharding_constraint(
+            f, NamedSharding(grid.mesh, spec))
+    src = grid.spec if from_dim is None else pencil_spec(grid, from_dim)
+    return reshard_chain(f, grid.mesh, src, spec)
 
 
-def from_pencil(f: jax.Array, grid) -> jax.Array:
+def from_pencil(f: jax.Array, grid, from_dim: int | None = -1) -> jax.Array:
     """Restore the grid's home sharding."""
     if grid.mesh is None:
         return f
-    return jax.lax.with_sharding_constraint(
-        f, NamedSharding(grid.mesh, grid.spec))
+    if from_dim == -1:
+        return jax.lax.with_sharding_constraint(
+            f, NamedSharding(grid.mesh, grid.spec))
+    return reshard_chain(f, grid.mesh, pencil_spec(grid, from_dim),
+                         grid.spec)
 
 
 def apply_along_axis(op, f: jax.Array, grid, axis: int) -> jax.Array:
