@@ -123,6 +123,7 @@ class SolverOptions:
     mg_transfers: str = "auto"      # auto | roll | matmul (MXU contraction)
     mg_impl: str = "auto"           # auto | roll | pallas level operators
     mg_cycles: int = 1              # V-cycles per preconditioner application
+    mg_cycle_dtype: str = ""        # "" = field dtype | bfloat16 | float32
     gmres_restart: int = 30
 
     @classmethod

@@ -1,0 +1,287 @@
+"""In-place (aliased) smoother kernels for grids too large for VMEM
+residency — the 512^3-class fast path.
+
+Measured on TPU v5e (bench/exp_bw*.py): two concurrent HBM streams to
+*distinct* 512 MB buffers top out near ~350-450 GB/s, while read+write of
+the *same* buffer sustains 650-780 GB/s. An out-of-place stencil sweep is
+therefore capped near 45% of nominal roofline at 512^3 no matter how it is
+tiled. These kernels instead update the field buffer in place
+(`input_output_aliases={0: 0}`) with a manually pipelined lagged-write
+schedule that keeps the sweep mathematically identical to the out-of-place
+kernels (every read sees the OLD field values):
+
+  * the grid is processed as x-slabs of T planes with full (y, z) extent;
+  * slab i's halo-extended planes [iT-H, iT+T+H) are double-buffered into
+    VMEM by explicit DMAs;
+  * the write-back of slab i starts only after slab i+1's fetch has
+    completed — the only overlap between write(i) ([iT, iT+T)) and any
+    later read is slab i+1's left halo [(i+1)T-H, (i+1)T), so this single
+    ordering constraint makes the in-place update race-free;
+  * the periodic wrap: slab nb-1's right halo is planes [0, H), which
+    slab 0's write-back clobbers long before — they are saved to a VMEM
+    scratch in the prologue.
+
+The smoother update semantics mirror ops.stencil_pallas (Jacobi sweep and
+the wide-halo red-black double sweep; reference hot-path analogue:
+src/poissbox.f90:112-148 under KSPSolve smoothing).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _star(xe, invs):
+    """7-point star on the interior planes of a halo-extended slab
+    (H=1 along x; y/z periodic via in-VMEM rolls — full planes)."""
+    ivx, ivy, ivz = invs
+    c = xe[1:-1]
+    ny, nz = c.shape[1], c.shape[2]
+    s = (xe[:-2] + xe[2:]) * ivx
+    s = s + (pltpu.roll(c, 1, 1) + pltpu.roll(c, ny - 1, 1)) * ivy
+    s = s + (pltpu.roll(c, 1, 2) + pltpu.roll(c, nz - 1, 2)) * ivz
+    return s - (2.0 * (ivx + ivy + ivz)) * c
+
+
+def _parity_x(shape, x0):
+    ii = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + x0
+    jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    return (ii + jj + kk) % 2
+
+
+def _upd_jacobi(xe, be, i0, *, invs, winv):
+    # xe: T+2 planes, be: T planes -> T updated planes
+    return xe[1:-1] + winv * (be - _star(xe, invs))
+
+
+def _make_kernel(nx, ny, nz, T, H, Hb, dtype, update, with_b):
+    """Build the manual-pipeline kernel body. `update(xe, be, x0)` maps the
+    halo-extended u slab (T+2H planes) and b slab (T+2Hb planes) to the T
+    output planes; x0 is the absolute x index of the first written plane."""
+    nb = nx // T
+    P = T + 2 * H
+    Pb = T + 2 * Hb
+
+    def kernel(u_hbm, b_hbm, out_hbm):
+        def body(ub, bb, ob, wrap, sul, sub, sur, sbl, sbb, sbr, so, sw):
+            # -- prologue: save the wrap planes [0, H) before any write
+            w = pltpu.make_async_copy(u_hbm.at[pl.ds(0, H)], wrap, sw)
+            w.start()
+            w.wait()
+
+            def u_left(slot, i):
+                return pltpu.make_async_copy(
+                    u_hbm.at[pl.ds((i * T - H) % nx, H)],
+                    ub.at[slot, pl.ds(0, H)], sul.at[slot])
+
+            def u_body(slot, i):
+                return pltpu.make_async_copy(
+                    u_hbm.at[pl.ds(i * T, T)],
+                    ub.at[slot, pl.ds(H, T)], sub.at[slot])
+
+            def u_right(slot, i):
+                return pltpu.make_async_copy(
+                    u_hbm.at[pl.ds(i * T + T, H)],
+                    ub.at[slot, pl.ds(H + T, H)], sur.at[slot])
+
+            def b_left(slot, i):
+                return pltpu.make_async_copy(
+                    b_hbm.at[pl.ds((i * T - Hb) % nx, Hb)],
+                    bb.at[slot, pl.ds(0, Hb)], sbl.at[slot])
+
+            def b_body(slot, i):
+                return pltpu.make_async_copy(
+                    b_hbm.at[pl.ds(i * T, T)],
+                    bb.at[slot, pl.ds(Hb, T)], sbb.at[slot])
+
+            def b_right(slot, i):
+                return pltpu.make_async_copy(
+                    b_hbm.at[pl.ds((i * T + T) % nx, Hb)],
+                    bb.at[slot, pl.ds(Hb + T, Hb)], sbr.at[slot])
+
+            def write(slot, i):
+                return pltpu.make_async_copy(
+                    ob.at[slot], out_hbm.at[pl.ds(i * T, T)], so.at[slot])
+
+            def fetch(slot, i):
+                u_left(slot, i).start()
+                u_body(slot, i).start()
+                # last slab's right halo comes from the wrap scratch
+                @pl.when(i < nb - 1)
+                def _():
+                    u_right(slot, i).start()
+                if with_b:
+                    b_body(slot, i).start()
+                    if Hb:
+                        b_left(slot, i).start()
+                        b_right(slot, i).start()
+
+            fetch(0, 0)
+
+            def step(i, _):
+                slot = jax.lax.rem(i, 2)
+                nxt = jax.lax.rem(i + 1, 2)
+                # the fetch for i was started in the previous iteration
+                # (or the prologue); its left-halo DMA was already waited
+                # there *except* for i == 0
+                @pl.when(i == 0)
+                def _():
+                    u_left(slot, i).wait()
+                u_body(slot, i).wait()
+                @pl.when(i < nb - 1)
+                def _():
+                    u_right(slot, i).wait()
+                @pl.when(i == nb - 1)
+                def _():
+                    ub[slot, H + T:H + T + H] = wrap[...]
+                if with_b:
+                    b_body(slot, i).wait()
+                    if Hb:
+                        b_left(slot, i).wait()
+                        b_right(slot, i).wait()
+                # our output buffer must be free: write(i-2) used this slot
+                @pl.when(i >= 2)
+                def _():
+                    write(slot, i - 2).wait()
+                be = bb[slot] if with_b else None
+                ob[slot] = update(ub[slot], be, i * T)
+                # start the next fetch, and gate this slab's write-back on
+                # the *left-halo* DMA of slab i+1 — the only later read
+                # that overlaps [iT, iT+T)
+                @pl.when(i + 1 < nb)
+                def _():
+                    fetch(nxt, i + 1)
+                    u_left(nxt, i + 1).wait()
+                write(slot, i).start()
+                return 0
+
+            jax.lax.fori_loop(0, nb, step, 0, unroll=False)
+            write(jax.lax.rem(nb - 1, 2), nb - 1).wait()
+            @pl.when(nb >= 2)
+            def _():
+                write(jax.lax.rem(nb - 2, 2), nb - 2).wait()
+
+        pl.run_scoped(
+            body,
+            ub=pltpu.VMEM((2, P, ny, nz), dtype),
+            bb=pltpu.VMEM((2, Pb, ny, nz) if with_b else (1, 1, 1, 1),
+                          dtype),
+            ob=pltpu.VMEM((2, T, ny, nz), dtype),
+            wrap=pltpu.VMEM((H, ny, nz), dtype),
+            sul=pltpu.SemaphoreType.DMA((2,)),
+            sub=pltpu.SemaphoreType.DMA((2,)),
+            sur=pltpu.SemaphoreType.DMA((2,)),
+            sbl=pltpu.SemaphoreType.DMA((2,)),
+            sbb=pltpu.SemaphoreType.DMA((2,)),
+            sbr=pltpu.SemaphoreType.DMA((2,)),
+            so=pltpu.SemaphoreType.DMA((2,)),
+            sw=pltpu.SemaphoreType.DMA(()),
+        )
+
+    return kernel
+
+
+def _pick_T(nx, ny, nz, itemsize, H, Hb, budget=100 * 2**20):
+    """Largest power-of-two slab T dividing nx whose scratch fits VMEM."""
+    plane = ny * nz * itemsize
+    T = 16
+    while T > 1:
+        need = (2 * (T + 2 * H) + 2 * (T + 2 * Hb) + 2 * T + H) * plane
+        if nx % T == 0 and need <= budget:
+            return T
+        T //= 2
+    return 1
+
+
+@functools.partial(jax.jit, static_argnames=("deltas", "weight"))
+def _jacobi_inplace(u, b, deltas, weight):
+    nx, ny, nz = u.shape
+    invs = tuple(1.0 / float(d) ** 2 for d in deltas)
+    winv = weight / (-2.0 * sum(invs))
+    T = _pick_T(nx, ny, nz, u.dtype.itemsize, 1, 0)
+
+    def update(xe, be, x0):
+        return _upd_jacobi(xe, be, x0, invs=invs, winv=winv)
+
+    kernel = _make_kernel(nx, ny, nz, T, 1, 0, u.dtype, update, True)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=11 * u.size,
+            bytes_accessed=3 * u.size * u.dtype.itemsize,
+            transcendentals=0),
+    )(u, b)
+
+
+@functools.partial(jax.jit, static_argnames=("deltas", "weight", "reverse"))
+def _sor_rb_inplace(u, b, deltas, weight, reverse):
+    nx, ny, nz = u.shape
+    invs = tuple(1.0 / float(d) ** 2 for d in deltas)
+    winv = weight / (-2.0 * sum(invs))
+    colors = (1, 0) if reverse else (0, 1)
+    T = _pick_T(nx, ny, nz, u.dtype.itemsize, 2, 1)
+
+    def update(xe, be, x0):
+        # both colors in one pass; xe has T+4 planes, be has T+2
+        Tl = xe.shape[0] - 4
+        r1 = be - _star(xe, invs)          # on T+2 extended planes
+        m1 = (_parity_x((Tl + 2, ny, nz), x0 - 1)
+              == colors[0]).astype(xe.dtype)
+        x1 = xe[1:-1] + (winv * m1) * r1
+        r2 = be[1:-1] - _star(x1, invs)    # on the T interior planes
+        m2 = (_parity_x((Tl, ny, nz), x0) == colors[1]).astype(xe.dtype)
+        return x1[1:-1] + (winv * m2) * r2
+
+    kernel = _make_kernel(nx, ny, nz, T, 2, 1, u.dtype, update, True)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=22 * u.size,
+            bytes_accessed=3 * u.size * u.dtype.itemsize,
+            transcendentals=0),
+    )(u, b)
+
+
+def jacobi_sweep_inplace(u: jax.Array, b: jax.Array, deltas, weight: float):
+    """Damped-Jacobi sweep u + (w/diag)(b - A u), writing through u's
+    buffer (XLA copies first if u is still live — pass a dead u)."""
+    return _jacobi_inplace(u, b, tuple(float(d) for d in deltas),
+                           float(weight))
+
+
+def sor_rb_sweep_inplace(u: jax.Array, b: jax.Array, deltas, weight: float,
+                         reverse: bool = False):
+    """Full red-black SOR sweep (both colors) through u's buffer."""
+    return _sor_rb_inplace(u, b, tuple(float(d) for d in deltas),
+                           float(weight), bool(reverse))
+
+
+def available(shape, dtype) -> bool:
+    """True when the in-place scheme applies: big enough that VMEM
+    residency can't hide the two-stream wall, slab math valid."""
+    nx, ny, nz = shape
+    if jax.default_backend() != "tpu":
+        return False
+    itemsize = jnp.dtype(dtype).itemsize
+    if nx * ny * nz * itemsize < 256 * 2**20:
+        return False
+    T = _pick_T(nx, ny, nz, itemsize, 2, 1)
+    return T >= 4 and nx // T >= 4

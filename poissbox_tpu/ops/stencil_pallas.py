@@ -173,10 +173,11 @@ def _pick_tiles(u: jax.Array) -> tuple[int, int]:
         return tx, ny
     if (4 + 2) * ny * row <= full_budget and nx % 4 == 0:
         return 4, ny
-    # paneled scheme
+    # paneled scheme; panel height floor = the sublane slab size
+    slab = 16 if u.dtype.itemsize < 4 else 8
     ty = ny
     while (tx + 2) * (ty + 2) * row > 2 * 2**20:
-        if ty > 8:
+        if ty > slab:
             ty //= 2
             while ny % ty and ty > 1:
                 ty //= 2
@@ -184,7 +185,7 @@ def _pick_tiles(u: jax.Array) -> tuple[int, int]:
             tx //= 2
         else:
             break
-    return max(tx, 1), max(ty, 1)
+    return max(tx, 1), max(ty, slab if ny % slab == 0 else 1)
 
 
 def _launch(update, u: jax.Array, tiles, invs, extra=(), **kw):
@@ -204,12 +205,14 @@ def _launch(update, u: jax.Array, tiles, invs, extra=(), **kw):
         in_specs = [xplane(-1), blk(), xplane(tx)]
         args = (u, u, u)
     else:
-        # y-halo slabs: 8 rows (sublane-divisibility), boundary row used
-        nyb, tyb = ny // 8, ty // 8
-        ym_spec = pl.BlockSpec((tx, 8, nz),
+        # y-halo slabs sized to the sublane multiple (8 rows for 4-byte
+        # dtypes, 16 for bf16); only the boundary row of the slab is used
+        slab = 16 if u.dtype.itemsize < 4 else 8
+        nyb, tyb = ny // slab, ty // slab
+        ym_spec = pl.BlockSpec((tx, slab, nz),
                                lambda i, j: (i, (j * tyb - 1) % nyb, 0),
                                memory_space=vm)
-        yp_spec = pl.BlockSpec((tx, 8, nz),
+        yp_spec = pl.BlockSpec((tx, slab, nz),
                                lambda i, j: (i, ((j + 1) * tyb) % nyb, 0),
                                memory_space=vm)
         in_specs = [xplane(-1), ym_spec, blk(), yp_spec, xplane(tx)]
@@ -380,7 +383,12 @@ def residual_pallas(u: jax.Array, b: jax.Array, deltas: Sequence[float],
 def jacobi_sweep_pallas(u: jax.Array, b: jax.Array, deltas: Sequence[float],
                         weight: float, tile_x: int = 8) -> jax.Array:
     """Fused damped-Jacobi smoother sweep u + (w/diag)(b - A u) — the MG
-    level smoother as one memory pass over (u, b, out)."""
+    level smoother as one memory pass over (u, b, out). Grids too large
+    for VMEM residency take the in-place aliased kernel (see
+    ops.stencil_inplace for the measured two-stream HBM wall)."""
+    from poissbox_tpu.ops import stencil_inplace
+    if stencil_inplace.available(u.shape, u.dtype):
+        return stencil_inplace.jacobi_sweep_inplace(u, b, deltas, weight)
     tiles = _pick_tiles(u)
     return _jacobi(u, b, tuple(float(d) for d in deltas), float(weight),
                    (min(tiles[0], tile_x), tiles[1]))
@@ -400,7 +408,13 @@ def sor_rb_sweep_pallas(u: jax.Array, b: jax.Array, deltas: Sequence[float],
     """One complete red-black SOR sweep (both colors, reversed order when
     `reverse`) as a single wide-halo kernel pass — ~half the HBM traffic of
     two color updates. Requires full (y, z) planes in VMEM and an even
-    slab; falls back to two color kernels on large-plane grids."""
+    slab; falls back to two color kernels on large-plane grids. Grids too
+    large for VMEM residency take the in-place aliased kernel
+    (ops.stencil_inplace)."""
+    from poissbox_tpu.ops import stencil_inplace
+    if stencil_inplace.available(u.shape, u.dtype):
+        return stencil_inplace.sor_rb_sweep_inplace(u, b, deltas, weight,
+                                                    reverse)
     nx, ny, nz = u.shape
     plane = ny * nz * u.dtype.itemsize
     t = tile_x

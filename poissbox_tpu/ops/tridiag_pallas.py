@@ -80,6 +80,74 @@ def _thomas_kernel(w_ref, binv_ref, cb_ref, corr_ref, d_ref, out_ref):
     _bwd_and_corr(binv_ref, cb_ref, corr_ref, out_ref, n)
 
 
+def _babe_kernel(wv_ref, binv_ref, ca_ref, corr_ref, d_ref, out_ref, *, m):
+    """Twisted (burn-at-both-ends) factorization solve: the sub-diagonal is
+    eliminated downward on rows 0..m and the super-diagonal upward on rows
+    n-1..m+1, meeting at row m — each fori_loop step advances BOTH
+    recurrences (independent rows), halving the sequential depth that makes
+    the row-at-a-time Thomas sweep VPU-latency-bound.
+
+    SMEM layout (length n each):
+      wv:   w_i for i <= m, v_i for i > m      (elimination multipliers)
+      binv: 1/bd_i for i < m, 1/bmid at m, 1/bu_i for i > m
+      ca:   c_i for i < m, a_i for i > m, 0 at m (back-substitution taps)
+    corr: periodic rank-1 correction as in _bwd_and_corr, with the extra
+    middle coupling vm stored at corr[n + 2].
+    """
+    n = d_ref.shape[0]
+    out_ref[0] = d_ref[0]
+    out_ref[n - 1] = d_ref[n - 1]
+
+    kd, ku = m, n - 2 - m
+    kc = min(kd, ku)
+
+    def elim(k, _):
+        i = 1 + k
+        j = n - 2 - k
+        out_ref[i] = d_ref[i] - wv_ref[i] * out_ref[i - 1]
+        out_ref[j] = d_ref[j] - wv_ref[j] * out_ref[j + 1]
+        return 0
+
+    jax.lax.fori_loop(0, kc, elim, 0)
+    for k in range(kc, kd):  # static tail (<= 1 step)
+        i = 1 + k
+        out_ref[i] = d_ref[i] - wv_ref[i] * out_ref[i - 1]
+    for k in range(kc, ku):
+        j = n - 2 - k
+        out_ref[j] = d_ref[j] - wv_ref[j] * out_ref[j + 1]
+
+    # middle row couples both sweeps: x_m = (dd_m - vm*du_{m+1}) / bmid
+    out_ref[m] = (out_ref[m] - corr_ref[n + 2] * out_ref[m + 1]) * binv_ref[m]
+
+    bd_, bu_ = m, n - 1 - m
+    bc = min(bd_, bu_)
+
+    def back(k, _):
+        i = m - 1 - k
+        j = m + 1 + k
+        out_ref[i] = (out_ref[i] - ca_ref[i] * out_ref[i + 1]) * binv_ref[i]
+        out_ref[j] = (out_ref[j] - ca_ref[j] * out_ref[j - 1]) * binv_ref[j]
+        return 0
+
+    jax.lax.fori_loop(0, bc, back, 0)
+    for k in range(bc, bd_):
+        i = m - 1 - k
+        out_ref[i] = (out_ref[i] - ca_ref[i] * out_ref[i + 1]) * binv_ref[i]
+    for k in range(bc, bu_):
+        j = m + 1 + k
+        out_ref[j] = (out_ref[j] - ca_ref[j] * out_ref[j - 1]) * binv_ref[j]
+
+    @pl.when(corr_ref[1] != 0.0)
+    def _():
+        factor = (out_ref[0] + corr_ref[0] * out_ref[n - 1]) * corr_ref[1]
+
+        def corr(i, _):
+            out_ref[i] = out_ref[i] - corr_ref[2 + i] * factor
+            return 0
+
+        jax.lax.fori_loop(0, n, corr, 0)
+
+
 def _compact_thomas_kernel(w_ref, binv_ref, cb_ref, corr_ref, f_ref, out_ref,
                            *, a, b, opsign, shift):
     """Fused compact-scheme apply: the staggered RHS
@@ -208,7 +276,7 @@ def _launch_tridiag(kernel, w, binv, cb, corr, d, ty: int, tz: int) -> Array:
         out_shape=jax.ShapeDtypeStruct(d.shape, d.dtype),
         grid=(ny // ty, nz // tz),
         in_specs=[
-            smem(n), smem(n), smem(n), smem(n + 2),
+            smem(n), smem(n), smem(n), smem(corr.shape[0]),
             pl.BlockSpec((n, ty, tz), lambda j, k: (0, j, k),
                          memory_space=pltpu.VMEM),
         ],
@@ -224,6 +292,56 @@ def _launch_tridiag(kernel, w, binv, cb, corr, d, ty: int, tz: int) -> Array:
 @functools.partial(jax.jit, static_argnames=("ty", "tz"))
 def _solve_blocks(w, binv, cb, corr, d, ty: int, tz: int) -> Array:
     return _launch_tridiag(_thomas_kernel, w, binv, cb, corr, d, ty, tz)
+
+
+@functools.partial(jax.jit, static_argnames=("ty", "tz", "m"))
+def _solve_babe_blocks(wv, binv, ca, corr, d, ty: int, tz: int,
+                       m: int) -> Array:
+    kernel = functools.partial(_babe_kernel, m=m)
+    return _launch_tridiag(kernel, wv, binv, ca, corr, d, ty, tz)
+
+
+def _babe_factor_np(a, b, c):
+    """Twisted-factorization setup (numpy, once): downward elimination on
+    rows 0..m, upward on n-1..m+1, coupled at the middle row m."""
+    import numpy as np
+
+    n = len(b)
+    m = (n - 2) // 2
+    w = np.zeros(n)
+    bd = np.array(b, dtype=np.float64)
+    for i in range(1, m + 1):
+        w[i] = a[i] / bd[i - 1]
+        bd[i] = b[i] - w[i] * c[i - 1]
+    v = np.zeros(n)
+    bu = np.array(b, dtype=np.float64)
+    for i in range(n - 2, m, -1):
+        v[i] = c[i] / bu[i + 1]
+        bu[i] = b[i] - v[i] * a[i + 1]
+    vm = c[m] / bu[m + 1]
+    bmid = bd[m] - vm * a[m + 1]
+    return w, bd, v, bu, vm, bmid, m
+
+
+def _babe_solve_np(a, b, c, d):
+    """Host reference solve with the twisted factorization (setup only)."""
+    import numpy as np
+
+    n = len(b)
+    w, bd, v, bu, vm, bmid, m = _babe_factor_np(a, b, c)
+    dd = np.array(d, dtype=np.float64)
+    for i in range(1, m + 1):
+        dd[i] = d[i] - w[i] * dd[i - 1]
+    du = np.array(d, dtype=np.float64)
+    for i in range(n - 2, m, -1):
+        du[i] = d[i] - v[i] * du[i + 1]
+    x = np.zeros(n)
+    x[m] = (dd[m] - vm * du[m + 1]) / bmid
+    for i in range(m - 1, -1, -1):
+        x[i] = (dd[i] - c[i] * x[i + 1]) / bd[i]
+    for i in range(m + 1, n):
+        x[i] = (du[i] - a[i] * x[i - 1]) / bu[i]
+    return x
 
 
 @functools.partial(jax.jit, static_argnames=("ty", "tz", "a", "b", "opsign",
@@ -339,7 +457,7 @@ class PallasTridiagFactor:
     (XLA transpose) — callers wanting zero-copy should present lines-major
     data (the pencil layout of parallel.pencil)."""
 
-    def __init__(self, a, b, c, periodic: bool):
+    def __init__(self, a, b, c, periodic: bool, algorithm: str = "thomas"):
         a = jnp.asarray(a)
         b = jnp.asarray(b)
         c = jnp.asarray(c)
@@ -347,6 +465,9 @@ class PallasTridiagFactor:
         n = b.shape[0]
         self.n = n
         self.dtype = b.dtype
+        self.algorithm = algorithm
+        if algorithm not in ("thomas", "babe"):
+            raise ValueError(f"unknown tridiag algorithm {algorithm!r}")
         if not periodic:
             w, bmod = _factor_1d(a, b, c)
             corr = jnp.zeros((n + 2,), b.dtype)
@@ -364,6 +485,49 @@ class PallasTridiagFactor:
         self.binv = 1.0 / bmod
         self.cb = (c * self.binv).at[-1].set(0.0)
         self.corr = corr
+        if algorithm == "babe":
+            import numpy as np
+            self._babe_setup(np.asarray(a, np.float64),
+                             np.asarray(b, np.float64),
+                             np.asarray(c, np.float64), periodic)
+
+    def _babe_setup(self, a, b, c, periodic: bool) -> None:
+        """Precompute the twisted-factorization SMEM operands (numpy,
+        setup time); periodic systems use the same Sherman-Morrison
+        reduction as the Thomas path but with the twisted aux solve."""
+        import numpy as np
+
+        n = self.n
+        corr = np.zeros(n + 3)
+        bmod = np.array(b, dtype=np.float64)
+        if periodic:
+            gamma = -b[0]
+            bmod[0] -= gamma
+            bmod[n - 1] -= c[n - 1] * a[0] / gamma
+            u = np.zeros(n)
+            u[0] = gamma
+            u[n - 1] = c[n - 1]
+            usol = _babe_solve_np(a, bmod, c, u)
+            ar = a[0] / gamma
+            denom = 1.0 + usol[0] + ar * usol[n - 1]
+            corr[0] = ar
+            corr[1] = 1.0 / denom
+            corr[2:n + 2] = usol
+        w, bd, v, bu, vm, bmid, m = _babe_factor_np(a, bmod, c)
+        idx = np.arange(n)
+        wv = np.where(idx <= m, w, v)
+        binv = np.zeros(n)
+        binv[:m] = 1.0 / bd[:m]
+        binv[m] = 1.0 / bmid
+        binv[m + 1:] = 1.0 / bu[m + 1:]
+        ca = np.where(idx < m, c, a)
+        ca[m] = 0.0
+        corr[n + 2] = vm
+        self.babe_m = m
+        self.babe_wv = jnp.asarray(wv, self.dtype)
+        self.babe_binv = jnp.asarray(binv, self.dtype)
+        self.babe_ca = jnp.asarray(ca, self.dtype)
+        self.babe_corr = jnp.asarray(corr, self.dtype)
 
     @staticmethod
     def _solve_ref(w, bmod, c, d):
@@ -424,6 +588,12 @@ class PallasTridiagFactor:
     def solve(self, d: Array, axis: int = 0,
               ty: Optional[int] = None, tz: Optional[int] = None) -> Array:
         """Solve along `axis` of a 3-D (or 1-D/2-D, auto-expanded) RHS."""
+        if self.algorithm == "babe":
+            return self._run(
+                d, axis, ty, tz,
+                lambda d3, ty_, tz_: _solve_babe_blocks(
+                    self.babe_wv, self.babe_binv, self.babe_ca,
+                    self.babe_corr, d3, ty_, tz_, self.babe_m))
         return self._run(
             d, axis, ty, tz,
             lambda d3, ty_, tz_: _solve_blocks(

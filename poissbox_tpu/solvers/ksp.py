@@ -68,6 +68,7 @@ def make_preconditioner(
             transfers=opts.mg_transfers,
             impl=opts.mg_impl,
             cycles=opts.mg_cycles,
+            dtype=opts.mg_cycle_dtype,
         )
         return make_mg_preconditioner(shape, deltas, cfg, dtype, grid=grid)
     raise ValueError(f"unknown pc_type {opts.pc_type!r} (expected none|jacobi|mg)")

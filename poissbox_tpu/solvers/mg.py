@@ -58,6 +58,14 @@ class MGConfig:
     cycles: int = 1               # V-cycles per preconditioner application
     impl: str = "auto"            # level-operator impl: auto | roll | pallas
     transfers: str = "auto"       # restriction/prolongation: auto | roll | matmul
+    # Cycle compute dtype ("" = the field dtype). "bfloat16" halves the HBM
+    # bytes of every smoother sweep, residual, and transfer — on TPU the
+    # smoothing passes are bandwidth-bound, so the cycle runs ~2x faster.
+    # The preconditioner stays a fixed linear operator (same cycle every
+    # application); bf16 rounding weakens it slightly, typically costing
+    # 0-2 extra outer CG iterations — a large net win at 256^3+. The
+    # coarse pseudo-inverse solve always runs in the setup dtype.
+    dtype: str = ""
 
 
 # High-frequency contraction factor per sweep, used to translate the
@@ -416,8 +424,10 @@ def v_cycle(levels: Sequence[_Level], coarse_pinv: Array, cfg: MGConfig,
     static so jit unrolls the recursion."""
     lvl = levels[idx]
     if idx == len(levels) - 1:
-        flat = b.reshape(-1)
-        return (coarse_pinv @ flat).reshape(lvl.shape)
+        # coarse solve in the pinv's (setup) precision regardless of the
+        # cycle dtype; cast back so the upward sweep stays uniform
+        flat = b.reshape(-1).astype(coarse_pinv.dtype)
+        return (coarse_pinv @ flat).reshape(lvl.shape).astype(b.dtype)
     x = _smooth(jnp.zeros_like(b), b, lvl, cfg, cfg.pre_smooth, reverse=False)
     r = _residual(x, b, lvl, cfg)
     tr = cfg.transfers
@@ -450,11 +460,13 @@ def make_mg_preconditioner(
     """
     levels = _build_levels(tuple(shape), tuple(deltas), cfg, grid=grid)
     pinv = _coarse_pinv(levels[-1], cfg, dtype)
+    cdt = jnp.dtype(cfg.dtype) if cfg.dtype else None
 
     def M(r: Array) -> Array:
-        x = v_cycle(levels, pinv, cfg, r)
+        rin = r.astype(cdt) if cdt is not None else r
+        x = v_cycle(levels, pinv, cfg, rin)
         for _ in range(cfg.cycles - 1):
-            x = x + v_cycle(levels, pinv, cfg, r - _lapl(x, levels[0], cfg))
-        return x
+            x = x + v_cycle(levels, pinv, cfg, rin - _lapl(x, levels[0], cfg))
+        return x.astype(r.dtype)
 
     return M

@@ -266,6 +266,29 @@ class TestMGCG:
         b_norm = float(jnp.linalg.norm(b.ravel()))
         assert true_res < 1e-7 * b_norm
 
+    def test_bf16_cycle_converges(self):
+        # reduced-precision V-cycle (MGConfig.dtype="bfloat16"): the
+        # preconditioner runs its smoothers/transfers in bf16 (half the HBM
+        # bytes on TPU) but must stay a fixed linear operator that still
+        # preconditions CG to tight tolerances in a few extra iterations
+        grid = Grid3D((32, 32, 32))
+        A = make_laplacian_operator(grid)
+        key = jax.random.PRNGKey(11)
+        u = A.project(grid.random(key).astype(jnp.float32))
+        b = A(u)
+        M16 = make_mg_preconditioner(grid.n, grid.deltas,
+                                     MGConfig(dtype="bfloat16"),
+                                     dtype=jnp.float32)
+        out = M16(b)
+        assert out.dtype == b.dtype  # casts back to the field dtype
+        res = cg(A, b, M=M16, rtol=1e-6, max_it=50)
+        ref = cg(A, b, M=make_mg_preconditioner(
+            grid.n, grid.deltas, MGConfig(), dtype=jnp.float32),
+            rtol=1e-6, max_it=50)
+        assert bool(res.converged)
+        # bf16 smoothing may cost a few extra outer iterations, no more
+        assert int(res.iterations) <= int(ref.iterations) + 4
+
     def test_iteration_count_mesh_independence(self):
         # multigrid's defining property: iterations ~ constant in n
         counts = []

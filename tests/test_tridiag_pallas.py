@@ -33,6 +33,35 @@ def test_matches_xla_axis0(periodic):
                                rtol=1e-13, atol=1e-13)
 
 
+@pytest.mark.parametrize("periodic", [False, True])
+def test_babe_matches_thomas(periodic):
+    # twisted (burn-at-both-ends) factorization: same solution as the
+    # Thomas kernel to roundoff, half the sequential depth
+    n = 32
+    a, b, c = _system(n)
+    d = jax.random.uniform(jax.random.PRNGKey(3), (n, 8, 128), jnp.float64)
+    ref = PallasTridiagFactor(a, b, c, periodic=periodic).solve(d, axis=0)
+    got = PallasTridiagFactor(a, b, c, periodic=periodic,
+                              algorithm="babe").solve(d, axis=0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_babe_variable_coefficients(rng):
+    # non-Toeplitz diagonally dominant system + odd length (asymmetric
+    # elimination split)
+    n = 33
+    a = jnp.asarray(rng.uniform(0.05, 0.3, n))
+    b = jnp.asarray(rng.uniform(1.5, 2.5, n))
+    c = jnp.asarray(rng.uniform(0.05, 0.3, n))
+    d = jnp.asarray(rng.standard_normal((n, 8, 128)))
+    ref = TridiagFactor(a, b, c, periodic=True, method="seq").solve(d, axis=0)
+    got = PallasTridiagFactor(a, b, c, periodic=True,
+                              algorithm="babe").solve(d, axis=0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-11, atol=1e-11)
+
+
 @pytest.mark.parametrize("axis", [1, 2])
 def test_moved_axes(axis):
     n = 16
