@@ -284,8 +284,8 @@ def _color_mask(shape, dtype) -> Array:
     return (((ii + jj + kk) % 2) == 0).astype(dtype)
 
 
-def _smooth(x: Array, b: Array, lvl: _Level, cfg: MGConfig, sweeps: int,
-            reverse: bool) -> Array:
+def _smooth(x: Optional[Array], b: Array, lvl: _Level, cfg: MGConfig,
+            sweeps: int, reverse: bool) -> Array:
     """`sweeps` smoothing iterations of the level operator.
 
     This is the Richardson-with-SOR/Jacobi level solve of the reference's MG
@@ -293,12 +293,20 @@ def _smooth(x: Array, b: Array, lvl: _Level, cfg: MGConfig, sweeps: int,
     place of the inner rtol (fixed iteration counts keep the cycle a linear,
     symmetric operator — required for CG — and compile to straight-line
     code).
+
+    `x=None` means a zero initial guess (the V-cycle's pre-smooth): the
+    first partial update is evaluated in closed form (A·0 = 0), saving one
+    full stencil pass — and, distributed, one halo exchange — per level
+    per cycle on every backend.
     """
     inv_diag = 1.0 / lvl.diag
     pallas = _use_pallas(lvl, cfg)
     dist = lvl.grid is not None
     if cfg.smoother == "jacobi":
         w = 8.0 / 9.0 if cfg.damping is None else cfg.damping
+        if x is None:
+            x = (w * inv_diag) * b      # first sweep from zero, closed form
+            sweeps -= 1
         if dist:
             from poissbox_tpu.parallel.dist_stencil import jacobi_sweep_sharded
             for _ in range(sweeps):
@@ -327,9 +335,13 @@ def _smooth(x: Array, b: Array, lvl: _Level, cfg: MGConfig, sweeps: int,
         delta = 0.5 * (b_hi - a_lo)
         sigma1 = theta / delta
         degree = max(2 * sweeps, 2)        # ~cost parity with 2-color SOR
-        r = _residual(x, b, lvl, cfg)
-        d = r / theta
-        x = x + d
+        if x is None:                      # zero guess: r = b, closed form
+            d = b / theta
+            x = d
+        else:
+            r = _residual(x, b, lvl, cfg)
+            d = r / theta
+            x = x + d
         rho = 1.0 / sigma1
         for _ in range(degree - 1):
             r = _residual(x, b, lvl, cfg)
@@ -341,20 +353,42 @@ def _smooth(x: Array, b: Array, lvl: _Level, cfg: MGConfig, sweeps: int,
     if cfg.smoother == "sor":
         w = 1.0 if cfg.damping is None else cfg.damping
         order = [1, 0] if reverse else [0, 1]  # color 0 = red, (i+j+k) even
+        half = False
+        if x is None:
+            # first color from zero in closed form (one elementwise pass),
+            # leaving the sweep's second color to the stencil kernels
+            red = _color_mask(lvl.shape, b.dtype)
+            m0 = red if order[0] == 0 else 1.0 - red
+            x = (w * inv_diag) * m0 * b
+            half = True
         if dist:
             from poissbox_tpu.parallel.dist_stencil import sor_sweep_sharded
+            if half:
+                x = sor_sweep_sharded(x, b, lvl.grid, w, order[1],
+                                      local_impl=_local_impl(cfg))
+                sweeps -= 1
             for _ in range(sweeps):
                 for color in order:
                     x = sor_sweep_sharded(x, b, lvl.grid, w, color,
                                           local_impl=_local_impl(cfg))
             return x
         if pallas:
-            from poissbox_tpu.ops.stencil_pallas import sor_rb_sweep_pallas
+            from poissbox_tpu.ops.stencil_pallas import (
+                sor_rb_sweep_pallas,
+                sor_sweep_pallas,
+            )
+            if half:
+                x = sor_sweep_pallas(x, b, lvl.deltas, w, order[1])
+                sweeps -= 1
             for _ in range(sweeps):
                 x = sor_rb_sweep_pallas(x, b, lvl.deltas, w, reverse=reverse)
             return x
         red = _color_mask(lvl.shape, b.dtype)
         masks = {0: red, 1: 1.0 - red}
+        if half:
+            r = b - apply_laplacian(x, lvl.deltas)
+            x = x + (w * inv_diag) * masks[order[1]] * r
+            sweeps -= 1
         for _ in range(sweeps):
             for color in order:
                 r = b - apply_laplacian(x, lvl.deltas)
@@ -428,7 +462,7 @@ def v_cycle(levels: Sequence[_Level], coarse_pinv: Array, cfg: MGConfig,
         # cycle dtype; cast back so the upward sweep stays uniform
         flat = b.reshape(-1).astype(coarse_pinv.dtype)
         return (coarse_pinv @ flat).reshape(lvl.shape).astype(b.dtype)
-    x = _smooth(jnp.zeros_like(b), b, lvl, cfg, cfg.pre_smooth, reverse=False)
+    x = _smooth(None, b, lvl, cfg, cfg.pre_smooth, reverse=False)
     r = _residual(x, b, lvl, cfg)
     tr = cfg.transfers
     if tr == "auto":
