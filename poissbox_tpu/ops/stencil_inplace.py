@@ -43,8 +43,8 @@ def _star(xe, invs):
     c = xe[1:-1]
     ny, nz = c.shape[1], c.shape[2]
     s = (xe[:-2] + xe[2:]) * ivx
-    s = s + (pltpu.roll(c, 1, 1) + pltpu.roll(c, ny - 1, 1)) * ivy
-    s = s + (pltpu.roll(c, 1, 2) + pltpu.roll(c, nz - 1, 2)) * ivz
+    s = s + (pltpu.roll(c, jnp.int32(1), 1) + pltpu.roll(c, jnp.int32(ny - 1), 1)) * ivy
+    s = s + (pltpu.roll(c, jnp.int32(1), 2) + pltpu.roll(c, jnp.int32(nz - 1), 2)) * ivz
     return s - (2.0 * (ivx + ivy + ivz)) * c
 
 

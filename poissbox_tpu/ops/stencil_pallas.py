@@ -57,7 +57,7 @@ def _star_into(out_ref, cur_ref, invs, xm_ref, xp_ref,
     acc = (xm + xp) * ivx
     if ym_ref is None:
         acc = acc + (
-            pltpu.roll(c, 1, 1) + pltpu.roll(c, c.shape[1] - 1, 1)) * ivy
+            pltpu.roll(c, jnp.int32(1), 1) + pltpu.roll(c, jnp.int32(c.shape[1] - 1), 1)) * ivy
     else:
         if c.shape[1] > 1:
             ym = jnp.concatenate([ym_ref[:, -1:], c[:, :-1]], axis=1)
@@ -68,7 +68,7 @@ def _star_into(out_ref, cur_ref, invs, xm_ref, xp_ref,
     # z-neighbors: block covers the full axis — a circular roll IS the
     # periodic boundary (pltpu.roll wants shift >= 0)
     acc = acc + (
-        pltpu.roll(c, 1, 2) + pltpu.roll(c, c.shape[2] - 1, 2)) * ivz
+        pltpu.roll(c, jnp.int32(1), 2) + pltpu.roll(c, jnp.int32(c.shape[2] - 1), 2)) * ivz
     out_ref[:] = acc - (2.0 * (ivx + ivy + ivz)) * c
 
 
@@ -131,8 +131,8 @@ def _sor_rb_kernel(prev2_ref, cur_ref, next2_ref, bp_ref, b_ref, bn_ref,
         # xe: (m+2) planes -> star on the m interior planes
         c = xe[1:-1]
         s = (xe[:-2] + xe[2:]) * ivx
-        s = s + (pltpu.roll(c, 1, 1) + pltpu.roll(c, ny - 1, 1)) * ivy
-        s = s + (pltpu.roll(c, 1, 2) + pltpu.roll(c, nz - 1, 2)) * ivz
+        s = s + (pltpu.roll(c, jnp.int32(1), 1) + pltpu.roll(c, jnp.int32(ny - 1), 1)) * ivy
+        s = s + (pltpu.roll(c, jnp.int32(1), 2) + pltpu.roll(c, jnp.int32(nz - 1), 2)) * ivz
         return s - (2.0 * (ivx + ivy + ivz)) * c
 
     i0 = pl.program_id(0) * tile_x
