@@ -14,6 +14,9 @@ import time
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/poissbox-jax-cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 sys.path.insert(0, ".")
 
 from poissbox_tpu.ops import stencil_inplace as si  # noqa: E402

@@ -121,6 +121,9 @@ def run(opts: Options) -> float:
     err = float(jnp.linalg.norm((res.x - x_exact).ravel()))
     print(f"solve: {int(res.iterations)} iterations in {dt:.3f}s "
           f"({sopts.ksp_type}+{sopts.pc_type})")
+    # -ksp_converged_reason analogue (reference README.md:48-49): surface a
+    # stalled solve (e.g. rtol below f32 reach) instead of silently passing
+    print(f"converged reason: {res.reason_enum().message}")
     print(f"verification: ||Ax - b||_2 = {true_res:.6e} "
           f"(relative {true_res / b_norm:.3e}), ||x - x_exact||_2 = {err:.3e}")
     return true_res / b_norm

@@ -34,6 +34,31 @@ from jax.experimental.pallas import tpu as pltpu
 # kernels
 # ---------------------------------------------------------------------------
 
+def _pm1_sum(c, axis):
+    """c shifted +1 plus c shifted -1 with periodic wrap along `axis`
+    (the y/z neighbor-pair sum of the 7-point star, computed in-VMEM).
+
+    pltpu.roll lowers to tpu.dynamic_rotate, which Mosaic implements only
+    for 32-bit element types; bf16 cycle sweeps take the slice+concat form
+    instead (same values, marginally more VMEM movement).
+    """
+    if c.dtype.itemsize == 4:
+        n = c.shape[axis]
+        return (pltpu.roll(c, jnp.int32(1), axis)
+                + pltpu.roll(c, jnp.int32(n - 1), axis))
+    last = [slice(None)] * c.ndim
+    last[axis] = slice(-1, None)
+    head = [slice(None)] * c.ndim
+    head[axis] = slice(None, -1)
+    plus = jnp.concatenate([c[tuple(last)], c[tuple(head)]], axis=axis)
+    first = [slice(None)] * c.ndim
+    first[axis] = slice(None, 1)
+    tail = [slice(None)] * c.ndim
+    tail[axis] = slice(1, None)
+    minus = jnp.concatenate([c[tuple(tail)], c[tuple(first)]], axis=axis)
+    return plus + minus
+
+
 def _star_into(out_ref, cur_ref, invs, xm_ref, xp_ref,
                ym_ref=None, yp_ref=None):
     """Accumulate the 7-point star into out_ref, one neighbor pair per
@@ -56,8 +81,7 @@ def _star_into(out_ref, cur_ref, invs, xm_ref, xp_ref,
         xm, xp = xm_ref[:], xp_ref[:]
     acc = (xm + xp) * ivx
     if ym_ref is None:
-        acc = acc + (
-            pltpu.roll(c, jnp.int32(1), 1) + pltpu.roll(c, jnp.int32(c.shape[1] - 1), 1)) * ivy
+        acc = acc + _pm1_sum(c, 1) * ivy
     else:
         if c.shape[1] > 1:
             ym = jnp.concatenate([ym_ref[:, -1:], c[:, :-1]], axis=1)
@@ -66,9 +90,8 @@ def _star_into(out_ref, cur_ref, invs, xm_ref, xp_ref,
             ym, yp = ym_ref[:, -1:], yp_ref[:, :1]
         acc = acc + (ym + yp) * ivy
     # z-neighbors: block covers the full axis — a circular roll IS the
-    # periodic boundary (pltpu.roll wants shift >= 0)
-    acc = acc + (
-        pltpu.roll(c, jnp.int32(1), 2) + pltpu.roll(c, jnp.int32(c.shape[2] - 1), 2)) * ivz
+    # periodic boundary
+    acc = acc + _pm1_sum(c, 2) * ivz
     out_ref[:] = acc - (2.0 * (ivx + ivy + ivz)) * c
 
 
@@ -131,8 +154,8 @@ def _sor_rb_kernel(prev2_ref, cur_ref, next2_ref, bp_ref, b_ref, bn_ref,
         # xe: (m+2) planes -> star on the m interior planes
         c = xe[1:-1]
         s = (xe[:-2] + xe[2:]) * ivx
-        s = s + (pltpu.roll(c, jnp.int32(1), 1) + pltpu.roll(c, jnp.int32(ny - 1), 1)) * ivy
-        s = s + (pltpu.roll(c, jnp.int32(1), 2) + pltpu.roll(c, jnp.int32(nz - 1), 2)) * ivz
+        s = s + _pm1_sum(c, 1) * ivy
+        s = s + _pm1_sum(c, 2) * ivz
         return s - (2.0 * (ivx + ivy + ivz)) * c
 
     i0 = pl.program_id(0) * tile_x

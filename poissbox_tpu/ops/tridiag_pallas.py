@@ -364,8 +364,18 @@ def _fused_tiles(n: int, ny: int, nz: int, itemsize: int,
     ty = min(ny, 16)
     while ny % ty:
         ty //= 2
-    while ty > 1 and nblocks * n * ty * tz * itemsize > budget:
-        ty //= 2
+    # Mosaic requires the (sublane, lane) dims of a 3-D block to be
+    # multiples of (8, 128) unless they span the whole axis: shrink tz
+    # toward 128 first, then ty, never below the hardware tile.
+    ty_min = 8 if ny >= 8 and ny % 8 == 0 else ty
+    tz_min = 128 if nz >= 128 and nz % 128 == 0 else tz
+    while nblocks * n * ty * tz * itemsize > budget:
+        if tz > tz_min:
+            tz //= 2
+        elif ty > ty_min:
+            ty //= 2
+        else:
+            break
     return max(ty, 1), max(tz, 1)
 
 

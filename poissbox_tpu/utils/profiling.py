@@ -28,20 +28,31 @@ def trace(logdir: str = "/tmp/poissbox-trace"):
 
 def kernel_time(fn: Callable, example, lo: int = 10, hi: int = 40,
                 reps: int = 3) -> float:
-    """Steady-state seconds per application of `fn` on `example`."""
+    """Steady-state seconds per application of `fn` on `example`.
+
+    The iteration count is passed as a traced argument (one compile serves
+    every count) and `hi` is doubled until the differenced device time
+    clearly dominates the host<->device jitter — without this, micro-kernels
+    (e.g. 64^3 sweeps at ~us scale) difference to noise and report garbage.
+    """
+    f = jax.jit(lambda v, it: jnp.sum(
+        jax.lax.fori_loop(0, it, lambda _, w: fn(w), v)))
 
     def timed(iters: int) -> float:
-        f = jax.jit(lambda v: jnp.sum(
-            jax.lax.fori_loop(0, iters, lambda _, w: fn(w), v)))
-        float(f(example))  # compile + warm
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(f(example))
+            float(f(example, iters))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    return max((timed(hi) - timed(lo)) / (hi - lo), 1e-12)
+    float(f(example, lo))  # compile + warm
+    t_lo = timed(lo)
+    t_hi = timed(hi)
+    while hi < 20000 and (t_hi - t_lo) <= max(0.5 * t_lo, 0.020):
+        hi *= 4
+        t_hi = timed(hi)
+    return max((t_hi - t_lo) / (hi - lo), 1e-12)
 
 
 def bandwidth_gbps(fn: Callable, example, passes: int = 2, **kw) -> float:
