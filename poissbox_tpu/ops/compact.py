@@ -208,6 +208,15 @@ def _fused_ok(f: Array, method: str) -> bool:
             and f.size // f.shape[0] >= 1024)
 
 
+def _pcr_ok(shape, dtype, method: str) -> bool:
+    """Prefer the scan-free circulant-PCR kernels (ops.compact_pcr) on TPU
+    for power-of-two grids: ~2.5x fewer HBM passes and no serial
+    recurrence (the Thomas kernels are latency-bound, see compact_pcr
+    docstring)."""
+    from poissbox_tpu.ops import compact_pcr
+    return len(shape) == 3 and compact_pcr.available(shape, dtype, method)
+
+
 def _dual(f: Array, op1, op2):
     """(op1(f), op2(f)) along axis 0, one fused kernel."""
     from poissbox_tpu.ops.tridiag_pallas import compact_dual
@@ -243,6 +252,9 @@ def grad(f: Array, deltas: Sequence[float], method: str = "auto") -> Array:
     src/compact_schemes.f90:42-88).
     """
     dx, dy, dz = deltas
+    if _pcr_ok(f.shape, f.dtype, method):
+        from poissbox_tpu.ops import compact_pcr
+        return compact_pcr.grad(f, tuple(float(d) for d in deltas))
     if _fused_ok(f, method):
         # dual kernels: interp+grad of one resident read per shared sweep
         op_i = _op(compact_interp_coeffs(), -1)
@@ -290,6 +302,9 @@ def div(F: Array, deltas: Sequence[float], method: str = "auto") -> Array:
     sweep and interpolating the rest (reference src/compact_schemes.f90:207-257).
     """
     dx, dy, dz = deltas
+    if F.ndim == 4 and _pcr_ok(F.shape[:3], F.dtype, method):
+        from poissbox_tpu.ops import compact_pcr
+        return compact_pcr.div(F, tuple(float(d) for d in deltas))
     if _use_layout_cycling(method) and F.ndim == 4:
         # X sweep in the natural (x, y, z) layout.
         e1 = div_1d(F[..., 0], dx, axis=0, method=method)
@@ -328,6 +343,9 @@ def div(F: Array, deltas: Sequence[float], method: str = "auto") -> Array:
 def interp(f: Array, stagger: int = -1, method: str = "auto") -> Array:
     """Tri-directional interpolation, Z->Y->X (reference
     src/compact_schemes.f90:93-142)."""
+    if _pcr_ok(f.shape, f.dtype, method):
+        from poissbox_tpu.ops import compact_pcr
+        return compact_pcr.interp(f, stagger=stagger)
     if _use_layout_cycling(method) and f.ndim == 3:
         out = interp_1d(_cyc(f), stagger=stagger, axis=0, method=method)
         out = interp_1d(_cyc(out), stagger=stagger, axis=0, method=method)
@@ -355,6 +373,9 @@ def lapl(f: Array, deltas: Sequence[float], method: str = "auto") -> Array:
     VMEM, and the final Z sweep is the summed-RHS kernel — the gradient
     tensor is never materialized in HBM.
     """
+    if _pcr_ok(f.shape, f.dtype, method):
+        from poissbox_tpu.ops import compact_pcr
+        return compact_pcr.lapl(f, tuple(float(d) for d in deltas))
     if not _fused_ok(f, method):
         return div(grad(f, deltas, method), deltas, method)
     dx, dy, dz = deltas

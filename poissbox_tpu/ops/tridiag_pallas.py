@@ -294,6 +294,34 @@ def _solve_blocks(w, binv, cb, corr, d, ty: int, tz: int) -> Array:
     return _launch_tridiag(_thomas_kernel, w, binv, cb, corr, d, ty, tz)
 
 
+def _pcr_kernel(d_ref, out_ref, *, sched, scale):
+    from poissbox_tpu.ops.compact_pcr import _vpcr
+    out_ref[:] = _vpcr(d_ref[:] * scale, 0, sched, pallas=True)
+
+
+@functools.partial(jax.jit, static_argnames=("ty", "tz", "sched", "scale"))
+def _solve_pcr_blocks(d, ty: int, tz: int, sched, scale: float) -> Array:
+    """Circulant-PCR solve along axis 0 — no SMEM factors, no recurrence;
+    one read + one write per line (see ops.compact_pcr docstring for the
+    scalar-coefficient schedule)."""
+    n, ny, nz = d.shape
+    blk = pl.BlockSpec((n, ty, tz), lambda j, k: (0, j, k),
+                       memory_space=pltpu.VMEM)
+    nsteps = len(sched[0])
+    return pl.pallas_call(
+        functools.partial(_pcr_kernel, sched=sched, scale=scale),
+        out_shape=jax.ShapeDtypeStruct(d.shape, d.dtype),
+        grid=(ny // ty, nz // tz),
+        in_specs=[blk],
+        out_specs=blk,
+        cost_estimate=pl.CostEstimate(
+            flops=(3 * nsteps + 2) * d.size,
+            bytes_accessed=2 * d.size * d.dtype.itemsize,
+            transcendentals=0),
+        interpret=jax.default_backend() != "tpu",  # CPU tests
+    )(d)
+
+
 @functools.partial(jax.jit, static_argnames=("ty", "tz", "m"))
 def _solve_babe_blocks(wv, binv, ca, corr, d, ty: int, tz: int,
                        m: int) -> Array:
@@ -467,7 +495,7 @@ class PallasTridiagFactor:
     (XLA transpose) — callers wanting zero-copy should present lines-major
     data (the pencil layout of parallel.pencil)."""
 
-    def __init__(self, a, b, c, periodic: bool, algorithm: str = "thomas"):
+    def __init__(self, a, b, c, periodic: bool, algorithm: str = "auto"):
         a = jnp.asarray(a)
         b = jnp.asarray(b)
         c = jnp.asarray(c)
@@ -475,9 +503,26 @@ class PallasTridiagFactor:
         n = b.shape[0]
         self.n = n
         self.dtype = b.dtype
+        if algorithm == "auto":
+            # circulant constant symmetric systems (the compact-scheme
+            # case) take the scan-free PCR kernel; everything else Thomas
+            algorithm = ("pcr" if self._pcr_eligible(a, b, c, periodic)
+                         else "thomas")
         self.algorithm = algorithm
-        if algorithm not in ("thomas", "babe"):
+        if algorithm not in ("thomas", "babe", "pcr"):
             raise ValueError(f"unknown tridiag algorithm {algorithm!r}")
+        if algorithm == "pcr":
+            import numpy as np
+            if not self._pcr_eligible(a, b, c, periodic):
+                raise ValueError(
+                    "pcr needs a periodic constant symmetric diagonally "
+                    "dominant system of power-of-two size")
+            from poissbox_tpu.ops.compact_pcr import pcr_schedule
+            av = float(np.asarray(a)[0])
+            bv = float(np.asarray(b)[0])
+            rtol = float(jnp.finfo(self.dtype).eps) * 0.25
+            self.pcr_sched = pcr_schedule(av / bv, n, rtol)
+            self.pcr_scale = 1.0 / bv
         if not periodic:
             w, bmod = _factor_1d(a, b, c)
             corr = jnp.zeros((n + 2,), b.dtype)
@@ -595,9 +640,35 @@ class PallasTridiagFactor:
             x = jnp.moveaxis(x, 0, axis)
         return x
 
+    @staticmethod
+    def _pcr_eligible(a, b, c, periodic: bool) -> bool:
+        import numpy as np
+        n = b.shape[0]
+        if (not periodic or n < 8 or n & (n - 1)
+                or jnp.dtype(b.dtype).itemsize > 4):
+            return False
+        an, bn, cn = (np.asarray(v) for v in (a, b, c))
+        const = (np.all(an == an[0]) and np.all(bn == bn[0])
+                 and np.all(cn == cn[0]) and an[0] == cn[0])
+        return bool(const and 2.0 * abs(an[0]) < abs(bn[0]))
+
     def solve(self, d: Array, axis: int = 0,
               ty: Optional[int] = None, tz: Optional[int] = None) -> Array:
         """Solve along `axis` of a 3-D (or 1-D/2-D, auto-expanded) RHS."""
+        if self.algorithm == "pcr":
+            def run_pcr(d3, ty_, tz_):
+                # the PCR body keeps ~3 rolled temporaries live per block
+                # on top of in+out, so halve the Thomas-sized tile until
+                # ~6 double-buffered blocks fit the 16M VMEM budget
+                n = d3.shape[0]
+                item = d3.dtype.itemsize
+                while ty_ > 8 and 12 * n * ty_ * tz_ * item > 15 * 2**20:
+                    ty_ //= 2
+                while tz_ > 128 and 12 * n * ty_ * tz_ * item > 15 * 2**20:
+                    tz_ //= 2
+                return _solve_pcr_blocks(d3, ty_, tz_, self.pcr_sched,
+                                         self.pcr_scale)
+            return self._run(d, axis, ty, tz, run_pcr)
         if self.algorithm == "babe":
             return self._run(
                 d, axis, ty, tz,

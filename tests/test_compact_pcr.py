@@ -1,0 +1,114 @@
+"""PCR compact-operator tests.
+
+The circulant-PCR path must agree with the Thomas-backed operators (both
+are direct solves of the same systems) to f64 roundoff, and meet the
+reference's MMS tolerance tiers (reference tests/grad, tests/div,
+tests/lapl) through the Pallas kernels (interpret mode on CPU exercises
+the same kernel code a TPU runs).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from poissbox_tpu.ops import compact, compact_pcr
+
+from conftest import rms as _rms  # noqa: F401  (fixture import pattern)
+
+
+def rms(x):
+    return float(jnp.sqrt(jnp.mean(jnp.asarray(x) ** 2)))
+
+
+class TestPcrSolve:
+    def test_schedule_solves_circulant_system(self, rng):
+        for n in (8, 64, 128):
+            for alpha in (9.0 / 62.0, 3.0 / 10.0):
+                A = np.zeros((n, n))
+                for i in range(n):
+                    A[i, i] = 1.0
+                    A[i, (i - 1) % n] = alpha
+                    A[i, (i + 1) % n] = alpha
+                x = rng.standard_normal((n, 3))
+                d = jnp.asarray(A @ x)
+                fs, bF, aF = compact_pcr.pcr_schedule(alpha, n)
+                got = compact_pcr._vpcr(d, 0, (fs, bF, aF), pallas=False)
+                assert np.max(np.abs(np.asarray(got) - x)) < 1e-12
+
+    def test_pcr_op_matches_thomas_1d(self, rng):
+        """pcr_op == grad_1d/interp_1d (Thomas path) along every axis."""
+        n = 32
+        f = jnp.asarray(rng.uniform(-1.0, 1.0, (n, n, n)))
+        dx = 1.0 / n
+        for axis in (0, 1, 2):
+            want = compact.grad_1d(f, dx, axis=axis, method="pscan")
+            got = compact_pcr.pcr_op(f, compact_pcr.grad_spec(dx, -1, n),
+                                     axis)
+            assert float(jnp.max(jnp.abs(want - got))) < 1e-11
+            want = compact.interp_1d(f, axis=axis, method="pscan")
+            got = compact_pcr.pcr_op(f, compact_pcr.interp_spec(-1, n), axis)
+            assert float(jnp.max(jnp.abs(want - got))) < 1e-12
+
+    def test_non_power_of_two_rejected(self):
+        with pytest.raises(ValueError):
+            compact_pcr.pcr_schedule(0.25, 48)
+        assert not compact_pcr.available((48, 64, 64), jnp.float32,
+                                         method="pcr")
+
+
+class TestPcrKernels:
+    """Pallas kernels (interpret on CPU) vs the Thomas-backed operators."""
+
+    n = 32
+
+    @pytest.fixture
+    def field(self, rng):
+        return jnp.asarray(rng.uniform(-1.0, 1.0, (self.n,) * 3))
+
+    def test_grad(self, field):
+        d = (1.0 / self.n,) * 3
+        want = compact.grad(field, d, method="pscan")
+        got = compact_pcr.grad(field, d)
+        assert float(jnp.max(jnp.abs(want - got))) < 1e-11
+
+    def test_div(self, field, rng):
+        d = (1.0 / self.n,) * 3
+        F = jnp.asarray(rng.uniform(-1.0, 1.0, (self.n,) * 3 + (3,)))
+        want = compact.div(F, d, method="pscan")
+        got = compact_pcr.div(F, d)
+        assert float(jnp.max(jnp.abs(want - got))) < 1e-10
+
+    def test_interp(self, field):
+        for stagger in (-1, +1):
+            want = compact.interp(field, stagger=stagger, method="pscan")
+            got = compact_pcr.interp(field, stagger=stagger)
+            assert float(jnp.max(jnp.abs(want - got))) < 1e-12
+
+    def test_lapl(self, field):
+        d = (1.0 / self.n,) * 3
+        want = compact.lapl(field, d, method="pscan")
+        got = compact_pcr.lapl(field, d)
+        assert float(jnp.max(jnp.abs(want - got))) < 1e-10
+
+
+class TestPcrMMS:
+    """Reference tolerance tiers through the PCR kernels (reference
+    tests/lapl/test_lapl.f90:57-132: RMS <= 1e-9 at 64^3)."""
+
+    def test_lapl_sin_field(self):
+        # [0, 2*pi] domain, f = sin x + sin y + sin z -> lapl f = -f
+        # (reference tests/lapl/test_lapl.f90:57-132)
+        n = 64
+        dx = 2 * np.pi / n
+        c = jnp.asarray((np.arange(n) + 0.5) * dx)
+        f = (jnp.sin(c)[:, None, None] + jnp.sin(c)[None, :, None]
+             + jnp.sin(c)[None, None, :])
+        f = jnp.broadcast_to(f, (n, n, n)).astype(jnp.float64)
+        got = compact_pcr.lapl(f, (dx, dx, dx))
+        assert rms(got + f) <= 1e-9
+
+    def test_lapl_constant_field(self):
+        n = 16
+        got = compact_pcr.lapl(jnp.full((n, n, n), 7.5), (1.0 / n,) * 3)
+        assert float(jnp.max(jnp.abs(got))) <= 1e-10

@@ -141,3 +141,40 @@ def test_compact_pallas_method_matches():
     got = C._apply_compact(u, compact_grad_coeffs(dx), -1, 0, method="pallas")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_pcr_matches_reference_f32():
+    """Circulant-PCR algorithm (scan-free, auto-selected for constant
+    symmetric periodic f32 systems) agrees with an f64 Thomas solve to
+    f32 roundoff."""
+    n = 64
+    a, b, c = _system(n, jnp.float32)
+    d = jax.random.uniform(jax.random.PRNGKey(5), (n, 8, 128), jnp.float32)
+    ref = TridiagFactor(*_system(n), periodic=True, method="seq").solve(
+        d.astype(jnp.float64), axis=0)
+    fac = PallasTridiagFactor(a, b, c, periodic=True, algorithm="auto")
+    assert fac.algorithm == "pcr"
+    got = fac.solve(d, axis=0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-6, atol=3e-6)
+
+
+def test_pcr_auto_fallbacks():
+    n = 64
+    # f64 -> thomas (dynamic_rotate is 32-bit-only)
+    fac = PallasTridiagFactor(*_system(n, jnp.float64), periodic=True,
+                              algorithm="auto")
+    assert fac.algorithm == "thomas"
+    # variable coefficients -> thomas
+    key = jax.random.PRNGKey(7)
+    b = 1.0 + jax.random.uniform(key, (n,), jnp.float32)
+    a = c = jnp.full((n,), 0.1, jnp.float32)
+    fac = PallasTridiagFactor(a, b, c, periodic=True, algorithm="auto")
+    assert fac.algorithm == "thomas"
+    # non-periodic -> thomas
+    fac = PallasTridiagFactor(*_system(n, jnp.float32), periodic=False,
+                              algorithm="auto")
+    assert fac.algorithm == "thomas"
+    # explicit pcr on an ineligible system must raise
+    with pytest.raises(ValueError):
+        PallasTridiagFactor(a, b, c, periodic=False, algorithm="pcr")
