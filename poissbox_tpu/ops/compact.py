@@ -114,6 +114,14 @@ def _apply_compact(f: Array, coeffs: CompactCoeffs, stagger: int, axis: int,
         method = _default_method()
     if method == "pallas" and f.size // n < 1024:
         method = "pscan"  # batch too small to feed the kernel's tiles
+    if method == "pallas" and f.ndim == 3:
+        # axis-native scan-free path: PCR along the solve axis, no axis
+        # moves (see ops.compact_pcr)
+        from poissbox_tpu.ops import compact_pcr
+        if compact_pcr.available_1d(f.shape, axis, f.dtype):
+            rt = compact_pcr._dtype_rtol(f.dtype)
+            spec = compact_pcr._spec(coeffs, coeffs.opsign, stagger, n, rt)
+            return compact_pcr.op_1d(f, spec, axis)
     if method == "pallas":
         # lines-major layout; the RHS evaluation fuses into the Thomas
         # kernel (2 HBM passes total) when the field is 3-D

@@ -210,6 +210,10 @@ def _yz_interp_kernel(f_ref, o_ref, *, iz, iy):
     o_ref[:] = _vop(_vop(f_ref[:], 2, iz, pallas=True), 1, iy, pallas=True)
 
 
+def _op1_kernel(f_ref, o_ref, *, spec, axis):
+    o_ref[:] = _vop(f_ref[:], axis, spec, pallas=True)
+
+
 def _x_kernel(*refs, chains):
     """k inputs -> k outputs, each through its own chain of specs along
     axis 0 (the x sweeps; chains of length 2 fuse grad_x->div'_x etc. with
@@ -356,6 +360,35 @@ def lapl(f: Array, deltas) -> Array:
         iy=interp_spec(+1, ny, rt), gy=grad_spec(dy, +1, ny, rt),
         izp=interp_spec(+1, nz, rt), gzp=grad_spec(dz, +1, nz, rt))
     return _yz_call(back, [g1, g2, g3], 1)
+
+
+def available_1d(shape, axis: int, dtype) -> bool:
+    """Axis-native single-operator kernel applies: TPU, power-of-two solve
+    axis, 32-bit-or-less dtype, tileable batch dims."""
+    if jax.default_backend() != "tpu" or jnp.dtype(dtype).itemsize > 4:
+        return False
+    if len(shape) != 3:
+        return False
+    n = shape[axis % 3]
+    if n < 8 or n & (n - 1):
+        return False
+    if axis % 3 == 0:
+        # x kernels tile (ny, nz); need hardware-tile divisibility
+        return shape[1] % 8 == 0 and shape[2] % 128 == 0
+    return True
+
+
+def op_1d(f: Array, spec, axis: int) -> Array:
+    """Single compact operator along `axis` in the field's native layout
+    (no transposes): one Pallas kernel, 1r + 1w. The building block for
+    the pencil-distributed sweeps (ops.compact_dist), where each sweep's
+    lines are device-local along a different axis."""
+    axis %= 3
+    if axis == 0:
+        (out,) = _x_call(((spec,),), [f])
+        return out
+    kern = functools.partial(_op1_kernel, spec=spec, axis=axis)
+    return _yz_call(kern, [f], 1)
 
 
 @functools.partial(jax.jit, static_argnames=("stagger",))

@@ -57,6 +57,16 @@ def make_preconditioner(
         from poissbox_tpu.solvers.mg import sweeps_for_level_rtol
         sweeps = sweeps_for_level_rtol(smoother, opts.mg_levels_ksp_rtol,
                                        opts.mg_levels_ksp_max_it)
+        if opts.mg_cycle_dtype == "bfloat16" and opts.ksp_rtol < 1e-5:
+            # measured on v5e: a bf16 V-cycle's output noise floor stalls
+            # the outer Krylov recursion near ~5e-6 relative — the solve
+            # then spins to max_it without converging. bf16 cycles are for
+            # loose tolerances or refinement inner solves.
+            import warnings
+            warnings.warn(
+                f"mg_cycle_dtype=bfloat16 with ksp_rtol={opts.ksp_rtol:g}: "
+                "bf16 preconditioner noise stalls CG near 5e-6 relative; "
+                "use ksp_rtol >= 1e-5 or solve_refined", stacklevel=2)
         cfg = MGConfig(
             levels=opts.mg_levels,
             smoother=smoother,

@@ -50,8 +50,11 @@ class MGConfig:
 
     levels: int = 0               # 0 = auto (coarsen while divisible, > coarse_size)
     smoother: str = "sor"         # "sor" (red-black) | "jacobi" | "chebyshev"
-    pre_smooth: int = 2           # smoother sweeps before coarse correction
-    post_smooth: int = 2          # ... and after (reversed ordering)
+    # 3+3 RB sweeps measured fastest end-to-end at 256^3 on v5e: the
+    # stronger cycle drops MG-CG from 5 outer iterations to 4 (18.9 ms vs
+    # 19.8 for 2+2; 1+1 needs 7 iterations)
+    pre_smooth: int = 3           # smoother sweeps before coarse correction
+    post_smooth: int = 3          # ... and after (reversed ordering)
     damping: Optional[float] = None  # None = per-smoother default (sor 1.0, jacobi 8/9)
     coarse: str = "svd"           # "svd" | "direct" (both dense; svd truncates nullspace)
     coarse_size: int = 4          # stop coarsening at min(n) <= coarse_size

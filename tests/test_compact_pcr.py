@@ -112,3 +112,23 @@ class TestPcrMMS:
         n = 16
         got = compact_pcr.lapl(jnp.full((n, n, n), 7.5), (1.0 / n,) * 3)
         assert float(jnp.max(jnp.abs(got))) <= 1e-10
+
+
+class TestOp1d:
+    """Axis-native single-op kernel (the pencil-sweep building block)."""
+
+    def test_matches_thomas_every_axis(self, rng):
+        n = 32
+        f = jnp.asarray(rng.uniform(-1.0, 1.0, (n, n, n)))
+        dx = 1.0 / n
+        rt = compact_pcr._dtype_rtol(f.dtype)
+        for axis in (0, 1, 2):
+            for spec, want in [
+                (compact_pcr.grad_spec(dx, -1, n, rt),
+                 compact.grad_1d(f, dx, axis=axis, method="pscan")),
+                (compact_pcr.interp_spec(+1, n, rt),
+                 compact.interp_1d(f, stagger=+1, axis=axis,
+                                   method="pscan")),
+            ]:
+                got = compact_pcr.op_1d(f, spec, axis)
+                assert float(jnp.max(jnp.abs(want - got))) < 1e-11, axis

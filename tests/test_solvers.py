@@ -143,3 +143,23 @@ class TestKSPDispatch:
         _, A, _, b = _problem(8)
         with pytest.raises(ValueError, match="ksp_type"):
             make_solver(A, SolverOptions(ksp_type="bicgstab"))
+
+    def test_bf16_cycle_tight_rtol_warns(self):
+        # bf16 V-cycle noise stalls CG below ~5e-6 relative (measured on
+        # v5e); asking for a tighter rtol must warn loudly
+        grid, A, u, b = _problem()
+        opts = SolverOptions(ksp_type="cg", pc_type="mg", ksp_rtol=1e-8,
+                             mg_cycle_dtype="bfloat16")
+        with pytest.warns(UserWarning, match="bf16"):
+            make_solver(A, opts, shape=grid.n, deltas=grid.deltas,
+                        dtype=jnp.float32)
+
+    def test_bf16_cycle_loose_rtol_silent(self):
+        import warnings as _w
+        grid, A, u, b = _problem()
+        opts = SolverOptions(ksp_type="cg", pc_type="mg", ksp_rtol=1e-4,
+                             mg_cycle_dtype="bfloat16")
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            make_solver(A, opts, shape=grid.n, deltas=grid.deltas,
+                        dtype=jnp.float32)
