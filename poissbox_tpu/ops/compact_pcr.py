@@ -227,7 +227,7 @@ def _x_kernel(*refs, chains):
 
 
 def _pick_T(nx: int, plane_bytes: int, nbuf: int,
-            budget: int = 14 * 1024 * 1024) -> int:
+            budget: int = 48 * 1024 * 1024) -> int:
     T = min(nx, 8)
     while nx % T:
         T //= 2
@@ -251,7 +251,8 @@ def _yz_call(kernel, inputs, n_out):
         out_specs=tuple([blk] * n_out) if n_out > 1 else blk,
         out_shape=out_shape if n_out > 1 else out_shape[0],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 2**20),
         interpret=_interpret(),
     )(*inputs)
     return out
@@ -266,7 +267,7 @@ def _x_call(chains, inputs):
     # grow tiles while the double-buffered footprint stays in budget
     nbuf = 2 * len(inputs) + 1
     while (tz * 2 <= nz and nz % (tz * 2) == 0
-           and nbuf * nx * ty * tz * 2 * item * 2 <= 14 * 1024 * 1024):
+           and nbuf * nx * ty * tz * 2 * item * 2 <= 48 * 1024 * 1024):
         tz *= 2
     blk = pl.BlockSpec((nx, ty, tz), lambda j, k: (0, j, k),
                        memory_space=pltpu.VMEM)
@@ -279,7 +280,8 @@ def _x_call(chains, inputs):
         out_specs=tuple([blk] * n) if n > 1 else blk,
         out_shape=out_shape if n > 1 else out_shape[0],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 2**20),
         interpret=_interpret(),
     )(*inputs)
     return out if n > 1 else (out,)

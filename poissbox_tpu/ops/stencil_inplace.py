@@ -189,11 +189,17 @@ def _make_kernel(nx, ny, nz, T, H, Hb, dtype, update, with_b):
 
 
 def _pick_T(nx, ny, nz, itemsize, H, Hb, budget=100 * 2**20):
-    """Largest power-of-two slab T dividing nx whose scratch fits VMEM."""
+    """Largest power-of-two slab T dividing nx whose scratch fits VMEM.
+
+    Accounts for the explicit buffers (double-buffered u/b/out slabs +
+    wrap scratch) plus ~2 halo-extended temporaries the update body keeps
+    live (residual + color mask; measured: the H=6 multisweep kernel at
+    512^3 with the naive accounting chose T=8 and overflowed VMEM by 47M)."""
     plane = ny * nz * itemsize
     T = 16
     while T > 1:
-        need = (2 * (T + 2 * H) + 2 * (T + 2 * Hb) + 2 * T + H) * plane
+        need = (2 * (T + 2 * H) + 2 * (T + 2 * Hb) + 2 * T + H
+                + 2 * (T + 2 * H)) * plane
         if nx % T == 0 and need <= budget:
             return T
         T //= 2
@@ -223,29 +229,55 @@ def _jacobi_inplace(u, b, deltas, weight):
             flops=11 * u.size,
             bytes_accessed=3 * u.size * u.dtype.itemsize,
             transcendentals=0),
+        interpret=jax.default_backend() != "tpu",  # CPU tests
     )(u, b)
 
 
-@functools.partial(jax.jit, static_argnames=("deltas", "weight", "reverse"))
-def _sor_rb_inplace(u, b, deltas, weight, reverse):
+@functools.partial(jax.jit, static_argnames=("deltas", "weight", "reverse",
+                                             "nsweeps"))
+def _sor_rb_multi_inplace(u, b, deltas, weight, reverse, nsweeps):
+    """`nsweeps` complete red-black sweeps (2*nsweeps color half-steps)
+    fused into ONE in-place memory pass — temporal blocking through the
+    slab pipeline: the u halo widens to H = 2*nsweeps planes per side and
+    each half-step's valid region shrinks by one plane per side, landing
+    exactly on the T written planes. Traffic is ~(3T + 4H)/T planes per T
+    output planes instead of nsweeps * (3T + 6)/T."""
     nx, ny, nz = u.shape
     invs = tuple(1.0 / float(d) ** 2 for d in deltas)
     winv = weight / (-2.0 * sum(invs))
     colors = (1, 0) if reverse else (0, 1)
-    T = _pick_T(nx, ny, nz, u.dtype.itemsize, 2, 1)
+    H = 2 * nsweeps
+    Hb = H - 1
+    T = _pick_T(nx, ny, nz, u.dtype.itemsize, H, Hb)
+    if T < H:
+        # the race-free write gating requires the slab to cover the halo;
+        # split the fusion instead of running an unsound schedule
+        if nsweeps == 1:
+            from poissbox_tpu.ops.stencil_pallas import _sor_rb, _pick_tiles
+            return _sor_rb(u, b, deltas, weight, reverse,
+                           _pick_tiles(u)[0])
+        x = _sor_rb_multi_inplace(u, b, deltas, weight, reverse, nsweeps // 2)
+        return _sor_rb_multi_inplace(x, b, deltas, weight, reverse,
+                                     nsweeps - nsweeps // 2)
 
     def update(xe, be, x0):
-        # both colors in one pass; xe has T+4 planes, be has T+2
-        Tl = xe.shape[0] - 4
-        r1 = be - _star(xe, invs)          # on T+2 extended planes
-        m1 = (_parity_x((Tl + 2, ny, nz), x0 - 1)
-              == colors[0]).astype(xe.dtype)
-        x1 = xe[1:-1] + (winv * m1) * r1
-        r2 = be[1:-1] - _star(x1, invs)    # on the T interior planes
-        m2 = (_parity_x((Tl, ny, nz), x0) == colors[1]).astype(xe.dtype)
-        return x1[1:-1] + (winv * m2) * r2
+        # xe: T+2H planes at abs x-offset x0-H; be: T+2Hb at x0-Hb.
+        # The (i+j+k) parity field is computed ONCE for the widest star
+        # region and sliced per half-step (absolute indexing keeps parity
+        # correct) — the per-step iota+mod evaluation was a measurable
+        # VPU cost at 512^3
+        x = xe
+        m0 = xe.shape[0] - 2
+        par = _parity_x((m0, ny, nz), x0 + (1 - H))
+        for j in range(2 * nsweeps):
+            m = x.shape[0]
+            r = be[j:j + m - 2] - _star(x, invs)
+            pj = par[j:m0 - j] if j else par
+            mk = (pj == colors[j % 2]).astype(x.dtype)
+            x = x[1:-1] + (winv * mk) * r
+        return x
 
-    kernel = _make_kernel(nx, ny, nz, T, 2, 1, u.dtype, update, True)
+    kernel = _make_kernel(nx, ny, nz, T, H, Hb, u.dtype, update, True)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
@@ -255,10 +287,15 @@ def _sor_rb_inplace(u, b, deltas, weight, reverse):
         input_output_aliases={0: 0},
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2**20),
         cost_estimate=pl.CostEstimate(
-            flops=22 * u.size,
+            flops=22 * nsweeps * u.size,
             bytes_accessed=3 * u.size * u.dtype.itemsize,
             transcendentals=0),
+        interpret=jax.default_backend() != "tpu",  # CPU tests
     )(u, b)
+
+
+def _sor_rb_inplace(u, b, deltas, weight, reverse):
+    return _sor_rb_multi_inplace(u, b, deltas, weight, reverse, 1)
 
 
 def jacobi_sweep_inplace(u: jax.Array, b: jax.Array, deltas, weight: float):
@@ -271,8 +308,27 @@ def jacobi_sweep_inplace(u: jax.Array, b: jax.Array, deltas, weight: float):
 def sor_rb_sweep_inplace(u: jax.Array, b: jax.Array, deltas, weight: float,
                          reverse: bool = False):
     """Full red-black SOR sweep (both colors) through u's buffer."""
-    return _sor_rb_inplace(u, b, tuple(float(d) for d in deltas),
-                           float(weight), bool(reverse))
+    return _sor_rb_multi_inplace(u, b, tuple(float(d) for d in deltas),
+                                 float(weight), bool(reverse), 1)
+
+
+def multi_ok(shape, dtype, nsweeps: int) -> bool:
+    """Fused `nsweeps`-sweep kernel applies: slab at least as wide as the
+    temporal-blocking halo (race-free write gating needs T >= H) and at
+    least two slabs in the pipeline."""
+    nx, ny, nz = shape
+    H = 2 * nsweeps
+    T = _pick_T(nx, ny, nz, jnp.dtype(dtype).itemsize, H, H - 1)
+    return T >= H and nx // T >= 2
+
+
+def sor_rb_multisweep_inplace(u: jax.Array, b: jax.Array, deltas,
+                              weight: float, nsweeps: int,
+                              reverse: bool = False):
+    """`nsweeps` fused red-black sweeps in one in-place pass (temporal
+    blocking; see _sor_rb_multi_inplace)."""
+    return _sor_rb_multi_inplace(u, b, tuple(float(d) for d in deltas),
+                                 float(weight), bool(reverse), int(nsweeps))
 
 
 def available(shape, dtype) -> bool:

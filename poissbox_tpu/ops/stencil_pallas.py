@@ -162,14 +162,17 @@ def _sor_rb_kernel(prev2_ref, cur_ref, next2_ref, bp_ref, b_ref, bn_ref,
     xe = jnp.concatenate([prev2_ref[:], cur_ref[:], next2_ref[:]], axis=0)
     be = jnp.concatenate([bp_ref[:], b_ref[:], bn_ref[:]], axis=0)
 
-    # first color on the extended region: planes i0-1 .. i0+T (T+2 of them)
+    # first color on the extended region: planes i0-1 .. i0+T (T+2 of
+    # them); the parity field is computed once and sliced for the second
+    # color (per-step iota+mod was a measurable VPU cost)
+    par = _parity((T + 2, ny, nz), i0 - 1, 0)
     r1 = be - star(xe)
-    m1 = (_parity((T + 2, ny, nz), i0 - 1, 0) == colors[0]).astype(xe.dtype)
+    m1 = (par == colors[0]).astype(xe.dtype)
     x1 = xe[1:-1] + (winv_diag * m1) * r1
 
     # second color on the interior T planes
     r2 = b_ref[:] - star(x1)
-    m2 = (_parity((T, ny, nz), i0, 0) == colors[1]).astype(xe.dtype)
+    m2 = (par[1:-1] == colors[1]).astype(xe.dtype)
     out_ref[:] = x1[1:-1] + (winv_diag * m2) * r2
 
 
@@ -423,6 +426,22 @@ def sor_sweep_pallas(u: jax.Array, b: jax.Array, deltas: Sequence[float],
     tiles = _pick_tiles(u)
     return _sor(u, b, tuple(float(d) for d in deltas), float(weight),
                 int(color), (min(tiles[0], tile_x), tiles[1]))
+
+
+def sor_rb_multisweep_pallas(u: jax.Array, b: jax.Array,
+                             deltas: Sequence[float], weight: float,
+                             nsweeps: int, reverse: bool = False) -> jax.Array:
+    """`nsweeps` complete red-black sweeps.
+
+    Deliberately NOT temporally blocked: the fused k-sweep in-place kernel
+    (ops.stencil_inplace._sor_rb_multi_inplace, halo H = 2k) was measured
+    SLOWER at 512^3 — VMEM limits force the slab down to T = 4 at H = 4,
+    so halo amplification (T+2H)/T = 3x eats the saved memory passes
+    (5.8 ms/sweep fused vs 4.5 single). Full-plane slabs leave no VMEM
+    headroom for temporal blocking; it would need y-paneling first."""
+    for _ in range(nsweeps):
+        u = sor_rb_sweep_pallas(u, b, deltas, weight, reverse)
+    return u
 
 
 def sor_rb_sweep_pallas(u: jax.Array, b: jax.Array, deltas: Sequence[float],

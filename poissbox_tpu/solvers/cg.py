@@ -73,16 +73,20 @@ def cg(
     if norm_type not in ("unpreconditioned", "natural"):
         raise ValueError(f"unknown norm_type {norm_type!r} "
                          "(expected unpreconditioned|natural)")
-    x = jnp.zeros_like(b) if x0 is None else x0
     # Singular consistency: remove the null-space component from b and x
     # (PETSc removes it from the RHS when a MatNullSpace is attached).
     b = A.project(b)
-    x = A.project(x)
 
     precond = M if M is not None else (lambda v: v)
 
     natural = norm_type == "natural"
-    r = b - A(x)
+    if x0 is None:
+        # zero-guess specialization: r = b - A*0 = b, no matvec
+        x = jnp.zeros_like(b)
+        r = b
+    else:
+        x = A.project(x0)
+        r = b - A(x)
     z = A.project(precond(r))
     p = z
     rz = _dot(r, z)

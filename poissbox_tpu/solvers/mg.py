@@ -377,14 +377,15 @@ def _smooth(x: Optional[Array], b: Array, lvl: _Level, cfg: MGConfig,
             return x
         if pallas:
             from poissbox_tpu.ops.stencil_pallas import (
-                sor_rb_sweep_pallas,
+                sor_rb_multisweep_pallas,
                 sor_sweep_pallas,
             )
             if half:
                 x = sor_sweep_pallas(x, b, lvl.deltas, w, order[1])
                 sweeps -= 1
-            for _ in range(sweeps):
-                x = sor_rb_sweep_pallas(x, b, lvl.deltas, w, reverse=reverse)
+            if sweeps:
+                x = sor_rb_multisweep_pallas(x, b, lvl.deltas, w, sweeps,
+                                             reverse=reverse)
             return x
         red = _color_mask(lvl.shape, b.dtype)
         masks = {0: red, 1: 1.0 - red}

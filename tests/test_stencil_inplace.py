@@ -1,0 +1,58 @@
+"""In-place (aliased, manually pipelined) smoother kernel tests.
+
+The in-place kernels must be mathematically identical to the out-of-place
+sweeps — every read sees the OLD field values despite the aliased
+write-back (the lagged-write schedule). Interpret mode on CPU executes
+the same DMA program a TPU runs; the real-chip validation
+(bench/exp_inplace.py) additionally showed bit-equality at 512^3.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from poissbox_tpu.ops import stencil_inplace as si
+from poissbox_tpu.ops.stencil import apply_laplacian
+
+
+@pytest.fixture
+def fields(rng):
+    n = 32
+    u = jnp.asarray(rng.uniform(-1.0, 1.0, (n, n, n)), jnp.float32)
+    b = jnp.asarray(rng.uniform(-1.0, 1.0, (n, n, n)), jnp.float32)
+    return u, b, (1.0 / n,) * 3
+
+
+def test_jacobi_inplace_matches_rolls(fields):
+    u, b, d = fields
+    w = 8.0 / 9.0
+    winv = w / (-2.0 * sum(1.0 / dd**2 for dd in d))
+    want = u + winv * (b - apply_laplacian(u, d))
+    got = si._jacobi_inplace(u, b, d, w)
+    assert float(jnp.max(jnp.abs(got - want))) < 1e-6
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_sor_rb_inplace_matches_outofplace(fields, reverse):
+    from poissbox_tpu.ops.stencil_pallas import _sor_rb
+    u, b, d = fields
+    want = _sor_rb(u, b, d, 1.0, reverse, 8)
+    got = si._sor_rb_inplace(u, b, d, 1.0, reverse)
+    assert float(jnp.max(jnp.abs(got - want))) == 0.0
+
+
+def test_available_gates_small_grids():
+    # in-place is for beyond-VMEM grids only; CPU always falls back
+    assert not si.available((64, 64, 64), jnp.float32)
+
+
+@pytest.mark.parametrize("nsweeps", [2, 3])
+@pytest.mark.parametrize("reverse", [False, True])
+def test_multisweep_matches_repeated_single(fields, nsweeps, reverse):
+    """Temporal blocking: k fused sweeps == k consecutive single sweeps."""
+    u, b, d = fields
+    want = u
+    for _ in range(nsweeps):
+        want = si._sor_rb_inplace(want, b, d, 1.0, reverse)
+    got = si._sor_rb_multi_inplace(u, b, d, 1.0, reverse, nsweeps)
+    assert float(jnp.max(jnp.abs(got - want))) < 1e-5
