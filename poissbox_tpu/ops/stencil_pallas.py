@@ -338,6 +338,80 @@ def _sor(u, b, deltas, weight, color, tiles):
                    color=color)
 
 
+def _sor_rb_zero_kernel(bp_ref, b_ref, bn_ref, out_ref, *, invs, winv_diag,
+                        colors, tile_x):
+    """One full red-black sweep from a ZERO initial guess: star(0) = 0, so
+    the first color is just winv*mask*b (no u read at all) and the second
+    color completes in the same pass — 2 HBM passes (read b, write x)
+    instead of the generic kernel's 3 plus a wasted x = 0 stream."""
+    ivx, ivy, ivz = invs
+    T = b_ref.shape[0]
+    ny, nz = b_ref.shape[1], b_ref.shape[2]
+
+    def star(xe):
+        c = xe[1:-1]
+        s = (xe[:-2] + xe[2:]) * ivx
+        s = s + _pm1_sum(c, 1) * ivy
+        s = s + _pm1_sum(c, 2) * ivz
+        return s - (2.0 * (ivx + ivy + ivz)) * c
+
+    i0 = pl.program_id(0) * tile_x
+    be = jnp.concatenate([bp_ref[:], b_ref[:], bn_ref[:]], axis=0)  # T+2
+    par = _parity((T + 2, ny, nz), i0 - 1, 0)
+    m1 = (par == colors[0]).astype(be.dtype)
+    x1 = (winv_diag * m1) * be
+    r2 = b_ref[:] - star(x1)
+    m2 = (par[1:-1] == colors[1]).astype(be.dtype)
+    out_ref[:] = x1[1:-1] + (winv_diag * m2) * r2
+
+
+@functools.partial(jax.jit, static_argnames=("deltas", "tile_x", "weight",
+                                             "reverse"))
+def _sor_rb_zero(b, deltas, weight, reverse, tile_x):
+    shape, dtype = b.shape, b.dtype
+    nx, ny, nz = shape
+    invs = tuple(1.0 / float(d) ** 2 for d in deltas)
+    winv = weight / (-2.0 * sum(invs))
+    colors = (1, 0) if reverse else (0, 1)
+    kernel = functools.partial(_sor_rb_zero_kernel, invs=invs,
+                               winv_diag=winv, colors=colors, tile_x=tile_x)
+    vm = pltpu.VMEM
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(shape, dtype),
+        grid=(nx // tile_x,),
+        in_specs=[
+            pl.BlockSpec((1, ny, nz), lambda i: ((i * tile_x - 1) % nx, 0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((tile_x, ny, nz), lambda i: (i, 0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((1, ny, nz),
+                         lambda i: ((i * tile_x + tile_x) % nx, 0, 0),
+                         memory_space=vm),
+        ],
+        out_specs=pl.BlockSpec((tile_x, ny, nz), lambda i: (i, 0, 0),
+                               memory_space=vm),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * nx * ny * nz,
+            bytes_accessed=2 * nx * ny * nz * jnp.dtype(dtype).itemsize,
+            transcendentals=0),
+        interpret=jax.default_backend() != "tpu",
+    )(b, b, b)
+
+
+def sor_rb_zero_sweep_pallas(b: jax.Array, deltas: Sequence[float],
+                             weight: float, reverse: bool = False,
+                             tile_x: int = 8) -> jax.Array:
+    """Full red-black sweep starting from x = 0 (the V-cycle pre-smooth
+    entry), fused into one 2-pass kernel."""
+    tx = tile_x
+    while tx > 1 and b.shape[0] % tx:
+        tx //= 2
+    return _sor_rb_zero(b, tuple(float(d) for d in deltas), float(weight),
+                        bool(reverse), tx)
+
+
 @functools.partial(jax.jit, static_argnames=("deltas", "tile_x", "weight",
                                              "reverse"))
 def _sor_rb(u, b, deltas, weight, reverse, tile_x):
@@ -396,6 +470,141 @@ def apply_laplacian_pallas(u: jax.Array, deltas: Sequence[float],
     tiles = _pick_tiles(u)
     return _apply(u, tuple(float(d) for d in deltas),
                   (min(tiles[0], tile_x), tiles[1]))
+
+
+def _resid_xrestrict_kernel(up_ref, uc_ref, un_ref, bp_ref, bc_ref, bn_ref,
+                            out_ref, *, invs):
+    """Fused MG downward leg along x: residual r = b - A u on 2*Tc fine
+    planes (+1 halo each side) immediately x-restricted to Tc coarse
+    planes — the full-size residual array never touches HBM. The y/z
+    restriction runs on the half-size output via the MXU banded form
+    (solvers.mg.restrict_mm axes=(1, 2))."""
+    ivx, ivy, ivz = invs
+
+    def star(xe):
+        c = xe[1:-1]
+        s = (xe[:-2] + xe[2:]) * ivx
+        s = s + _pm1_sum(c, 1) * ivy
+        s = s + _pm1_sum(c, 2) * ivz
+        return s - (2.0 * (ivx + ivy + ivz)) * c
+
+    xe = jnp.concatenate([up_ref[:], uc_ref[:], un_ref[:]], axis=0)
+    be = jnp.concatenate([bp_ref[:], bc_ref[:], bn_ref[:]], axis=0)
+    r = be - star(xe)                      # 2*Tc+2 fine planes
+    r0 = r[1:-1]
+    tc = out_ref.shape[0]
+    ny, nz = r0.shape[1], r0.shape[2]
+    pairs = r0.reshape(tc, 2, ny, nz)      # leading-dim split only
+    even, odd = pairs[:, 0], pairs[:, 1]   # r_{2I}, r_{2I+1}
+    up = jnp.concatenate([even[1:], r[-1:]], axis=0)   # r_{2I+2}
+    dn = jnp.concatenate([r[:1], odd[:-1]], axis=0)    # r_{2I-1}
+    out_ref[:] = (3.0 * (even + odd) + up + dn) * 0.125
+
+
+@functools.partial(jax.jit, static_argnames=("deltas", "tc"))
+def _resid_xrestrict(u, b, deltas, tc):
+    nx, ny, nz = u.shape
+    nxc = nx // 2
+    invs = tuple(1.0 / float(d) ** 2 for d in deltas)
+    vm = pltpu.VMEM
+    return pl.pallas_call(
+        functools.partial(_resid_xrestrict_kernel, invs=invs),
+        out_shape=jax.ShapeDtypeStruct((nxc, ny, nz), u.dtype),
+        grid=(nxc // tc,),
+        in_specs=[
+            # u: 2*tc fine planes + 2-plane halos (2-plane block units)
+            pl.BlockSpec((2, ny, nz), lambda i: ((i * tc - 1) % nxc, 0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((2 * tc, ny, nz), lambda i: (i, 0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((2, ny, nz), lambda i: (((i + 1) * tc) % nxc, 0, 0),
+                         memory_space=vm),
+            # b: 1-plane halos
+            pl.BlockSpec((1, ny, nz), lambda i: ((2 * i * tc - 1) % nx, 0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((2 * tc, ny, nz), lambda i: (i, 0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((1, ny, nz),
+                         lambda i: ((2 * (i + 1) * tc) % nx, 0, 0),
+                         memory_space=vm),
+        ],
+        out_specs=pl.BlockSpec((tc, ny, nz), lambda i: (i, 0, 0),
+                               memory_space=vm),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * u.size,
+            bytes_accessed=(2 * u.size + u.size // 2) * u.dtype.itemsize,
+            transcendentals=0),
+        interpret=jax.default_backend() != "tpu",
+    )(u, u, u, b, b, b)
+
+
+def residual_xrestrict_pallas(u: jax.Array, b: jax.Array,
+                              deltas: Sequence[float]) -> jax.Array:
+    """(b - A u) restricted along x to (nx/2, ny, nz), one fused pass."""
+    nx, ny, nz = u.shape
+    plane = ny * nz * u.dtype.itemsize
+    tc = 8
+    while tc > 1 and ((nx // 2) % tc or (10 * tc + 10) * plane > 48 * 2**20):
+        tc //= 2
+    return _resid_xrestrict(u, b, tuple(float(d) for d in deltas), tc)
+
+
+def _xprolong_add_kernel(em_ref, ec_ref, ep_ref, u_ref, out_ref):
+    """Fused MG upward leg along x: trilinear x-prolongation of the
+    (already y/z-prolonged) coarse correction, added straight into u —
+    the full-size prolonged array never touches HBM. Aliasing u -> out is
+    safe: each block writes exactly the planes it read (no u halos)."""
+    e = ec_ref[:]
+    e_m = jnp.concatenate([em_ref[:], e[:-1]], axis=0)   # e_{I-1}
+    e_p = jnp.concatenate([e[1:], ep_ref[:]], axis=0)    # e_{I+1}
+    even = 0.75 * e + 0.25 * e_m                          # fine 2I
+    odd = 0.75 * e + 0.25 * e_p                           # fine 2I+1
+    tc, ny, nz = e.shape
+    corr = jnp.stack([even, odd], axis=1).reshape(2 * tc, ny, nz)
+    out_ref[:] = u_ref[:] + corr
+
+
+@functools.partial(jax.jit, static_argnames=("tc",))
+def _xprolong_add(u, e, tc):
+    nx, ny, nz = u.shape
+    nxc = nx // 2
+    vm = pltpu.VMEM
+    return pl.pallas_call(
+        _xprolong_add_kernel,
+        out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
+        grid=(nxc // tc,),
+        in_specs=[
+            pl.BlockSpec((1, ny, nz), lambda i: ((i * tc - 1) % nxc, 0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((tc, ny, nz), lambda i: (i, 0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((1, ny, nz), lambda i: (((i + 1) * tc) % nxc, 0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((2 * tc, ny, nz), lambda i: (i, 0, 0),
+                         memory_space=vm),
+        ],
+        out_specs=pl.BlockSpec((2 * tc, ny, nz), lambda i: (i, 0, 0),
+                               memory_space=vm),
+        input_output_aliases={3: 0},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * u.size,
+            bytes_accessed=(2 * u.size + u.size // 2) * u.dtype.itemsize,
+            transcendentals=0),
+        interpret=jax.default_backend() != "tpu",
+    )(e, e, e, u)
+
+
+def xprolong_add_pallas(u: jax.Array, e_yz: jax.Array) -> jax.Array:
+    """u + P_x(e_yz) in one pass; e_yz is the y/z-prolonged coarse
+    correction at shape (nx/2, ny, nz)."""
+    nx, ny, nz = u.shape
+    plane = ny * nz * u.dtype.itemsize
+    tc = 8
+    while tc > 1 and ((nx // 2) % tc or (8 * tc + 6) * plane > 48 * 2**20):
+        tc //= 2
+    return _xprolong_add(u, e_yz, tc)
 
 
 def residual_pallas(u: jax.Array, b: jax.Array, deltas: Sequence[float],

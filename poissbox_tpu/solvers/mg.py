@@ -247,28 +247,30 @@ def _restrict_matrix(n: int, dtype_name: str):
         return jnp.asarray(R, jnp.dtype(dtype_name))
 
 
-def restrict_mm(f: Array) -> Array:
-    """restrict() evaluated as three MXU contractions — one banded matmul
-    per axis, each a single fused memory pass (vs the roll formulation's
-    many). f32 inputs use HIGHEST precision so the 4-tap sums stay exact."""
+def restrict_mm(f: Array, axes=(0, 1, 2)) -> Array:
+    """restrict() evaluated as MXU contractions — one banded matmul per
+    axis, each a single fused memory pass (vs the roll formulation's
+    many). f32 inputs use HIGHEST precision so the 4-tap sums stay exact.
+    `axes` restricts the contraction set (the fused residual+x-restrict
+    Pallas kernel handles axis 0 itself and passes axes=(1, 2))."""
     import jax
 
     prec = jax.lax.Precision.HIGHEST
     out = f
-    for ax in range(3):
+    for ax in axes:
         R = _restrict_matrix(f.shape[ax], jnp.dtype(f.dtype).name)
         out = jnp.moveaxis(
             jnp.tensordot(R, out, axes=(1, ax), precision=prec), 0, ax)
     return out
 
 
-def prolong_mm(c: Array) -> Array:
-    """prolong() as three MXU contractions with P = 2 R^T."""
+def prolong_mm(c: Array, axes=(0, 1, 2)) -> Array:
+    """prolong() as MXU contractions with P = 2 R^T."""
     import jax
 
     prec = jax.lax.Precision.HIGHEST
     out = c
-    for ax in range(3):
+    for ax in axes:
         R = _restrict_matrix(2 * c.shape[ax], jnp.dtype(c.dtype).name)
         out = jnp.moveaxis(
             jnp.tensordot(2.0 * R.T, out, axes=(1, ax), precision=prec), 0, ax)
@@ -356,6 +358,19 @@ def _smooth(x: Optional[Array], b: Array, lvl: _Level, cfg: MGConfig,
     if cfg.smoother == "sor":
         w = 1.0 if cfg.damping is None else cfg.damping
         order = [1, 0] if reverse else [0, 1]  # color 0 = red, (i+j+k) even
+        if x is None and pallas and not dist:
+            # zero-guess first sweep as a dedicated 2-pass kernel (reads
+            # only b; the generic closed-form + single-color combination
+            # costs 5 passes and measured slower)
+            from poissbox_tpu.ops.stencil_pallas import (
+                sor_rb_multisweep_pallas,
+                sor_rb_zero_sweep_pallas,
+            )
+            x = sor_rb_zero_sweep_pallas(b, lvl.deltas, w, reverse=reverse)
+            if sweeps > 1:
+                x = sor_rb_multisweep_pallas(x, b, lvl.deltas, w, sweeps - 1,
+                                             reverse=reverse)
+            return x
         half = False
         if x is None:
             # first color from zero in closed form (one elementwise pass),
@@ -467,12 +482,27 @@ def v_cycle(levels: Sequence[_Level], coarse_pinv: Array, cfg: MGConfig,
         flat = b.reshape(-1).astype(coarse_pinv.dtype)
         return (coarse_pinv @ flat).reshape(lvl.shape).astype(b.dtype)
     x = _smooth(None, b, lvl, cfg, cfg.pre_smooth, reverse=False)
-    r = _residual(x, b, lvl, cfg)
     tr = cfg.transfers
     if tr == "auto":
         tr = "matmul" if jax.devices()[0].platform == "tpu" else "roll"
     if lvl.grid is not None or levels[idx + 1].grid is not None:
         tr = "roll"  # matmul transfers contract whole axes (would gather)
+    fused = tr == "matmul" and _use_pallas(lvl, cfg)
+    if fused:
+        # downward leg fused along x: the full-size residual and prolonged
+        # correction never hit HBM (ops.stencil_pallas kernels); y/z
+        # transfers run on the half-size intermediate via the MXU form
+        from poissbox_tpu.ops.stencil_pallas import (
+            residual_xrestrict_pallas,
+            xprolong_add_pallas,
+        )
+        rc = _pin(restrict_mm(
+            residual_xrestrict_pallas(x, b, lvl.deltas), axes=(1, 2)),
+            levels[idx + 1])
+        ec = v_cycle(levels, coarse_pinv, cfg, rc, idx + 1)
+        x = xprolong_add_pallas(x, prolong_mm(ec, axes=(1, 2)))
+        return _smooth(x, b, lvl, cfg, cfg.post_smooth, reverse=True)
+    r = _residual(x, b, lvl, cfg)
     down, up = (restrict_mm, prolong_mm) if tr == "matmul" else (restrict, prolong)
     rc = _pin(down(r), levels[idx + 1])
     ec = v_cycle(levels, coarse_pinv, cfg, rc, idx + 1)

@@ -24,7 +24,9 @@ from poissbox_tpu.solvers.mg import (
     _dense_periodic_laplacian,
     make_mg_preconditioner,
     prolong,
+    prolong_mm,
     restrict,
+    restrict_mm,
 )
 
 
@@ -302,3 +304,30 @@ class TestMGCG:
             assert bool(res.converged)
             counts.append(int(res.iterations))
         assert max(counts) <= min(counts) + 3
+
+
+class TestFusedTransferKernels:
+    """The fused downward/upward-leg Pallas kernels (residual+x-restrict,
+    x-prolong+add) must match the unfused composition exactly (interpret
+    mode on CPU runs the same kernel code a TPU does)."""
+
+    def test_residual_xrestrict(self, rng):
+        from poissbox_tpu.ops.stencil_pallas import residual_xrestrict_pallas
+        n = 32
+        d = (1.0 / n,) * 3
+        lvl = _build_levels((n, n, n), d, MGConfig())[0]
+        x = jnp.asarray(rng.uniform(-1.0, 1.0, (n, n, n)))
+        b = jnp.asarray(rng.uniform(-1.0, 1.0, (n, n, n)))
+        r = b - apply_laplacian(x, d)
+        want = restrict_mm(r)
+        got = restrict_mm(residual_xrestrict_pallas(x, b, d), axes=(1, 2))
+        assert float(jnp.max(jnp.abs(want - got))) < 1e-9
+
+    def test_xprolong_add(self, rng):
+        from poissbox_tpu.ops.stencil_pallas import xprolong_add_pallas
+        n = 32
+        u = jnp.asarray(rng.uniform(-1.0, 1.0, (n, n, n)))
+        e = jnp.asarray(rng.uniform(-1.0, 1.0, (n // 2,) * 3))
+        want = u + prolong_mm(e)
+        got = xprolong_add_pallas(u, prolong_mm(e, axes=(1, 2)))
+        assert float(jnp.max(jnp.abs(want - got))) < 1e-12

@@ -56,3 +56,15 @@ def test_multisweep_matches_repeated_single(fields, nsweeps, reverse):
         want = si._sor_rb_inplace(want, b, d, 1.0, reverse)
     got = si._sor_rb_multi_inplace(u, b, d, 1.0, reverse, nsweeps)
     assert float(jnp.max(jnp.abs(got - want))) < 1e-5
+
+
+def test_sor_rb_zero_matches_sweep_from_zero(fields):
+    """The fused zero-guess RB kernel == a generic sweep applied to x=0."""
+    from poissbox_tpu.ops.stencil_pallas import (
+        _sor_rb, sor_rb_zero_sweep_pallas)
+    _, b, d = fields
+    for reverse in (False, True):
+        want = _sor_rb(jnp.zeros_like(b), b, d, 1.0, reverse, 8)
+        got = sor_rb_zero_sweep_pallas(b, d, 1.0, reverse=reverse)
+        # fma grouping differs between the two compilations -> f32 roundoff
+        assert float(jnp.max(jnp.abs(got - want))) < 1e-9, reverse
