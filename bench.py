@@ -152,8 +152,11 @@ def bench_mgcg(n: int, dtype, rtol: float) -> dict:
 
 
 def bench_tridiag(n: int, dtype) -> dict:
-    """Batched periodic tridiagonal solve (the compact-scheme inner kernel):
-    Pallas Thomas vs the 2-full-pass bandwidth bound."""
+    """Batched periodic tridiagonal solve (the compact-scheme inner kernel)
+    vs the 2-full-pass bandwidth bound. The production solver is the
+    in-place circulant-PCR kernel; chained same-buffer solves have perfect
+    HBM row locality, so the fraction can exceed 1.0 of the nominal
+    spec-sheet bandwidth (same caveat as the steady-state stencil number)."""
     import jax.numpy as jnp
 
     from poissbox_tpu.ops.tridiag import TridiagFactor

@@ -314,6 +314,10 @@ def _solve_pcr_blocks(d, ty: int, tz: int, sched, scale: float) -> Array:
         grid=(ny // ty, nz // tz),
         in_specs=[blk],
         out_specs=blk,
+        # write range == read range per block (no halos), so solving
+        # through d's buffer is safe — and beyond-VMEM batches then run at
+        # the same-buffer HBM rate instead of the two-stream wall
+        input_output_aliases={0: 0},
         cost_estimate=pl.CostEstimate(
             flops=(3 * nsteps + 2) * d.size,
             bytes_accessed=2 * d.size * d.dtype.itemsize,
