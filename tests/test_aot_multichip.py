@@ -86,3 +86,19 @@ def test_sharded_mgcg_step_compiles(topo_devices):
     compiled = jax.jit(lambda b: solve(b).x).lower(spec).compile()
     hlo = compiled.as_text()
     assert "collective-permute" in hlo  # distributed levels really sharded
+
+
+def test_pencil_compact_compiles_with_all_to_all(topo_devices):
+    """The pencil-transposed compact sweeps (2decomp transpose method)
+    must partition for a real TPU target: reshard chains lower to
+    all-to-alls (not GSPMD's replicate fallback) and the shard_map-local
+    line solves survive SPMD."""
+    from poissbox_tpu.ops import compact_dist
+
+    gm = _grid(topo_devices, n=64, pgrid=(2, 2, 2))
+    fn = jax.jit(lambda f: compact_dist.lapl(f, gm))
+    spec = jax.ShapeDtypeStruct(
+        (64, 64, 64), jnp.float32,
+        sharding=jax.sharding.NamedSharding(gm.mesh, gm.spec))
+    hlo = fn.lower(spec).compile().as_text()
+    assert "all-to-all" in hlo, "pencil transposes did not lower to all-to-alls"
