@@ -80,9 +80,8 @@ def bench_stencil(n: int, dtype, lo: int = 25, hi: int = 100) -> dict:
     else:
         fn = lambda v: apply_laplacian(v, deltas)
 
-    t_lo = _timed_loop(fn, u, lo)
-    t_hi = _timed_loop(fn, u, hi)
-    per_apply = max((t_hi - t_lo) / (hi - lo), 1e-9)
+    from poissbox_tpu.utils.profiling import kernel_time
+    per_apply = max(kernel_time(fn, u, lo=lo, hi=hi), 1e-9)
 
     # cold variant: ping-pong two buffers; the block read at application k
     # was written at application k-2, with two full array passes of traffic
@@ -102,7 +101,12 @@ def bench_stencil(n: int, dtype, lo: int = 25, hi: int = 100) -> dict:
             best = min(best, time.perf_counter() - t0)
         return best
 
-    per_cold = max((cold_loop(hi) - cold_loop(lo)) / (hi - lo), 1e-9)
+    # adaptive count growth: small grids otherwise difference to jitter
+    t_lo, t_hi = cold_loop(lo), cold_loop(hi)
+    while hi < 20000 and (t_hi - t_lo) <= max(0.5 * t_lo, 0.020):
+        hi *= 4
+        t_hi = cold_loop(hi)
+    per_cold = max((t_hi - t_lo) / (hi - lo), 1e-9)
     gdofs = n**3 / per_apply / 1e9
     gdofs_cold = n**3 / per_cold / 1e9
     bpd = 2 * jnp.dtype(dtype).itemsize  # 1 read + 1 write per DoF, fused

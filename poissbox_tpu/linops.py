@@ -32,6 +32,10 @@ def make_nullspace_projector() -> Callable[[Array], Array]:
     def project(x: Array) -> Array:
         return x - jnp.mean(x)
 
+    # marker consumed by solvers.cg: the rank-one mean-removal form lets
+    # the projection fold into the CG reductions instead of costing its
+    # own memory passes; custom projectors take the generic path
+    project.is_constant_projector = True
     return project
 
 

@@ -40,9 +40,12 @@ def init_distributed(coordinator_address: Optional[str] = None,
     # NB: do not touch jax.process_count()/jax.devices() here — that would
     # initialize the single-process backend and make distributed init
     # impossible ("must be called before any JAX computations").
-    from jax._src import distributed as _dist
-    if _dist.global_state.client is not None:
-        return  # already initialized
+    try:  # private, may move across JAX versions — fall back gracefully
+        from jax._src import distributed as _dist
+        if _dist.global_state.client is not None:
+            return  # already initialized
+    except (ImportError, AttributeError):
+        pass  # detection unavailable: rely on initialize()'s own error
     explicit = coordinator_address is not None
     try:
         jax.distributed.initialize(coordinator_address, num_processes,

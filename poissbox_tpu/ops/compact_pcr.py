@@ -262,7 +262,8 @@ def _x_call(chains, inputs):
     f = inputs[0]
     nx, ny, nz = f.shape
     item = f.dtype.itemsize
-    ty = 8 if ny % 8 == 0 and ny >= 8 else ny
+    slab = 16 if item < 4 else 8    # Mosaic sublane tile: (16, 128) for bf16
+    ty = slab if ny % slab == 0 and ny >= slab else ny
     tz = 128 if nz % 128 == 0 and nz >= 128 else nz
     # grow tiles while the double-buffered footprint stays in budget
     nbuf = 2 * len(inputs) + 1
@@ -376,7 +377,9 @@ def available_1d(shape, axis: int, dtype) -> bool:
         return False
     if axis % 3 == 0:
         # x kernels tile (ny, nz); need hardware-tile divisibility
-        return shape[1] % 8 == 0 and shape[2] % 128 == 0
+        # ((16, 128) for sub-32-bit dtypes, (8, 128) for 32-bit)
+        slab = 16 if jnp.dtype(dtype).itemsize < 4 else 8
+        return shape[1] % slab == 0 and shape[2] % 128 == 0
     return True
 
 

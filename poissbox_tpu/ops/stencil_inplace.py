@@ -35,18 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from poissbox_tpu.ops.stencil_pallas import _pm1_sum
-
-
-def _star(xe, invs):
-    """7-point star on the interior planes of a halo-extended slab
-    (H=1 along x; y/z periodic via in-VMEM rolls — full planes)."""
-    ivx, ivy, ivz = invs
-    c = xe[1:-1]
-    s = (xe[:-2] + xe[2:]) * ivx
-    s = s + _pm1_sum(c, 1) * ivy
-    s = s + _pm1_sum(c, 2) * ivz
-    return s - (2.0 * (ivx + ivy + ivz)) * c
+from poissbox_tpu.ops.stencil_pallas import _star_ext as _star  # noqa: F401
 
 
 def _parity_x(shape, x0):

@@ -59,6 +59,18 @@ def _pm1_sum(c, axis):
     return plus + minus
 
 
+def _star_ext(xe, invs):
+    """7-point star on the interior planes of a halo-extended slab
+    (1 x-halo plane each side; y/z periodic via in-VMEM rotates — the
+    block spans the full y, z axes)."""
+    ivx, ivy, ivz = invs
+    c = xe[1:-1]
+    s = (xe[:-2] + xe[2:]) * ivx
+    s = s + _pm1_sum(c, 1) * ivy
+    s = s + _pm1_sum(c, 2) * ivz
+    return s - (2.0 * (ivx + ivy + ivz)) * c
+
+
 def _star_into(out_ref, cur_ref, invs, xm_ref, xp_ref,
                ym_ref=None, yp_ref=None):
     """Accumulate the 7-point star into out_ref, one neighbor pair per
@@ -146,18 +158,9 @@ def _sor_rb_kernel(prev2_ref, cur_ref, next2_ref, bp_ref, b_ref, bn_ref,
     and the second color then has the updated first-color values it needs
     entirely in VMEM. Traffic ~(3T+6)/T planes vs 6T for two separate
     color kernels."""
-    ivx, ivy, ivz = invs
     T = cur_ref.shape[0]
     ny, nz = cur_ref.shape[1], cur_ref.shape[2]
-
-    def star(xe):
-        # xe: (m+2) planes -> star on the m interior planes
-        c = xe[1:-1]
-        s = (xe[:-2] + xe[2:]) * ivx
-        s = s + _pm1_sum(c, 1) * ivy
-        s = s + _pm1_sum(c, 2) * ivz
-        return s - (2.0 * (ivx + ivy + ivz)) * c
-
+    star = functools.partial(_star_ext, invs=invs)
     i0 = pl.program_id(0) * tile_x
     xe = jnp.concatenate([prev2_ref[:], cur_ref[:], next2_ref[:]], axis=0)
     be = jnp.concatenate([bp_ref[:], b_ref[:], bn_ref[:]], axis=0)
@@ -344,16 +347,10 @@ def _sor_rb_zero_kernel(bp_ref, b_ref, bn_ref, out_ref, *, invs, winv_diag,
     the first color is just winv*mask*b (no u read at all) and the second
     color completes in the same pass — 2 HBM passes (read b, write x)
     instead of the generic kernel's 3 plus a wasted x = 0 stream."""
-    ivx, ivy, ivz = invs
     T = b_ref.shape[0]
     ny, nz = b_ref.shape[1], b_ref.shape[2]
 
-    def star(xe):
-        c = xe[1:-1]
-        s = (xe[:-2] + xe[2:]) * ivx
-        s = s + _pm1_sum(c, 1) * ivy
-        s = s + _pm1_sum(c, 2) * ivz
-        return s - (2.0 * (ivx + ivy + ivz)) * c
+    star = functools.partial(_star_ext, invs=invs)
 
     i0 = pl.program_id(0) * tile_x
     be = jnp.concatenate([bp_ref[:], b_ref[:], bn_ref[:]], axis=0)  # T+2
@@ -479,14 +476,7 @@ def _resid_xrestrict_kernel(up_ref, uc_ref, un_ref, bp_ref, bc_ref, bn_ref,
     planes — the full-size residual array never touches HBM. The y/z
     restriction runs on the half-size output via the MXU banded form
     (solvers.mg.restrict_mm axes=(1, 2))."""
-    ivx, ivy, ivz = invs
-
-    def star(xe):
-        c = xe[1:-1]
-        s = (xe[:-2] + xe[2:]) * ivx
-        s = s + _pm1_sum(c, 1) * ivy
-        s = s + _pm1_sum(c, 2) * ivz
-        return s - (2.0 * (ivx + ivy + ivz)) * c
+    star = functools.partial(_star_ext, invs=invs)
 
     xe = jnp.concatenate([up_ref[:], uc_ref[:], un_ref[:]], axis=0)
     be = jnp.concatenate([bp_ref[:], bc_ref[:], bn_ref[:]], axis=0)

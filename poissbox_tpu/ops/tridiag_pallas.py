@@ -399,7 +399,8 @@ def _fused_tiles(n: int, ny: int, nz: int, itemsize: int,
     # Mosaic requires the (sublane, lane) dims of a 3-D block to be
     # multiples of (8, 128) unless they span the whole axis: shrink tz
     # toward 128 first, then ty, never below the hardware tile.
-    ty_min = 8 if ny >= 8 and ny % 8 == 0 else ty
+    slab = 16 if itemsize < 4 else 8   # bf16 sublane tile is 16 rows
+    ty_min = slab if ny >= slab and ny % slab == 0 else ty
     tz_min = 128 if nz >= 128 and nz % 128 == 0 else tz
     while nblocks * n * ty * tz * itemsize > budget:
         if tz > tz_min:
@@ -412,6 +413,9 @@ def _fused_tiles(n: int, ny: int, nz: int, itemsize: int,
 
 
 def _factor_smem_args(fac) -> tuple:
+    ensure = getattr(fac, "_ensure_thomas", None)
+    if ensure is not None:
+        ensure()
     return tuple(jnp.asarray(v) for v in (fac.w, fac.binv, fac.cb, fac.corr))
 
 
@@ -527,6 +531,16 @@ class PallasTridiagFactor:
             rtol = float(jnp.finfo(self.dtype).eps) * 0.25
             self.pcr_sched = pcr_schedule(av / bv, n, rtol)
             self.pcr_scale = 1.0 / bv
+        # The Thomas factorization (incl. the scan-based periodic aux
+        # solve) is only needed by the thomas/babe kernels and the fused
+        # compact entry points — build it lazily for pcr instances
+        self._abc = (a, b, c, periodic)
+        if algorithm != "pcr":
+            self._thomas_setup()
+
+    def _thomas_setup(self) -> None:
+        a, b, c, periodic = self._abc
+        n = self.n
         if not periodic:
             w, bmod = _factor_1d(a, b, c)
             corr = jnp.zeros((n + 2,), b.dtype)
@@ -544,11 +558,15 @@ class PallasTridiagFactor:
         self.binv = 1.0 / bmod
         self.cb = (c * self.binv).at[-1].set(0.0)
         self.corr = corr
-        if algorithm == "babe":
+        if self.algorithm == "babe":
             import numpy as np
             self._babe_setup(np.asarray(a, np.float64),
                              np.asarray(b, np.float64),
                              np.asarray(c, np.float64), periodic)
+
+    def _ensure_thomas(self) -> None:
+        if not hasattr(self, "w"):
+            self._thomas_setup()
 
     def _babe_setup(self, a, b, c, periodic: bool) -> None:
         """Precompute the twisted-factorization SMEM operands (numpy,
@@ -679,6 +697,7 @@ class PallasTridiagFactor:
                 lambda d3, ty_, tz_: _solve_babe_blocks(
                     self.babe_wv, self.babe_binv, self.babe_ca,
                     self.babe_corr, d3, ty_, tz_, self.babe_m))
+        self._ensure_thomas()
         return self._run(
             d, axis, ty, tz,
             lambda d3, ty_, tz_: _solve_blocks(
@@ -695,6 +714,7 @@ class PallasTridiagFactor:
         RHS shifts happen along axis 0 of the block. Other layouts must use
         the unfused path (RHS built in XLA, then .solve)."""
         if f.ndim == 3 and axis % 3 == 0:
+            self._ensure_thomas()
             return self._run(
                 f, 0, ty, tz,
                 lambda f3, ty_, tz_: _solve_compact_blocks(

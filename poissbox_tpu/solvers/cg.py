@@ -90,7 +90,10 @@ def cg(
     z = A.project(precond(r))
     p = z
     rz = _dot(r, z)
-    rnorm0 = jnp.sqrt(rz) if natural else jnp.sqrt(_dot(r, r))
+    # clamp like the loop body: <r, z> can round to a tiny negative for a
+    # warm start near the solution, and sqrt(neg) would poison bnorm
+    rnorm0 = (jnp.sqrt(jnp.maximum(rz, 0.0)) if natural
+              else jnp.sqrt(_dot(r, r)))
     # Convergence is relative to ||b|| (KSPConvergedDefault-style; equals
     # the initial residual for a zero guess, correct for warm starts). In
     # the natural norm, evaluating sqrt(<b, M b>) would cost an extra
@@ -109,14 +112,19 @@ def cg(
         ok = jnp.isfinite(s.resnorm)
         return not_done & ok & (s.k < max_it)
 
-    # The null-space projection of the preconditioned residual is rank-one
-    # (z = v - mean(v)), so it folds into the reductions instead of costing
-    # its own memory passes:  <r, z> = <r, v> - mean(v) * sum(r)  and the
-    # search-direction update applies the mean shift inline. XLA then fuses
-    # the sibling reductions (<r,v>, sum v, sum r) into one pass over (r, v)
-    # and the r-update with the ||r||^2 reduction — the CG vector algebra
-    # runs in ~13 field passes per iteration instead of 20.
-    project_z = A.nullspace is not None
+    # The CANONICAL null-space projection (z = v - mean(v), marked by
+    # linops.make_nullspace_projector) is rank-one, so it folds into the
+    # reductions instead of costing its own memory passes:
+    # <r, z> = <r, v> - mean(v) * sum(r) and the search-direction update
+    # applies the mean shift inline. XLA then fuses the sibling reductions
+    # (<r,v>, sum v, sum r) into one pass over (r, v) and the r-update
+    # with the ||r||^2 reduction — the CG vector algebra runs in ~13 field
+    # passes per iteration instead of 20. A CUSTOM projector (any other
+    # callable) is applied explicitly instead — folding would silently
+    # assume mean removal.
+    project_z = A.nullspace is not None and getattr(
+        A.nullspace, "is_constant_projector", False)
+    explicit_proj = A.nullspace is not None and not project_z
     inv_n = 1.0 / b.size
 
     def body(s: _CGState) -> _CGState:
@@ -135,7 +143,9 @@ def cg(
         x = s.x + alpha * s.p
         r = s.r - alpha * Ap
         v = precond(r)
-        if M is None:
+        if explicit_proj:
+            v = A.project(v)
+        if M is None and not explicit_proj:
             rr = _dot(r, r)
             rv, sv, sr = rr, jnp.sum(r), None
         else:

@@ -304,6 +304,10 @@ def _smooth(x: Optional[Array], b: Array, lvl: _Level, cfg: MGConfig,
     full stencil pass — and, distributed, one halo exchange — per level
     per cycle on every backend.
     """
+    if sweeps <= 0:
+        # pre_smooth=0 / post_smooth=0 must be exact no-ops (zero guess
+        # included), or the cycle loses its transpose pairing
+        return jnp.zeros_like(b) if x is None else x
     inv_diag = 1.0 / lvl.diag
     pallas = _use_pallas(lvl, cfg)
     dist = lvl.grid is not None
@@ -391,17 +395,13 @@ def _smooth(x: Optional[Array], b: Array, lvl: _Level, cfg: MGConfig,
                                           local_impl=_local_impl(cfg))
             return x
         if pallas:
+            # x is not None here: the zero-guess case returned above
+            # (pallas is also always False on distributed levels)
             from poissbox_tpu.ops.stencil_pallas import (
                 sor_rb_multisweep_pallas,
-                sor_sweep_pallas,
             )
-            if half:
-                x = sor_sweep_pallas(x, b, lvl.deltas, w, order[1])
-                sweeps -= 1
-            if sweeps:
-                x = sor_rb_multisweep_pallas(x, b, lvl.deltas, w, sweeps,
-                                             reverse=reverse)
-            return x
+            return sor_rb_multisweep_pallas(x, b, lvl.deltas, w, sweeps,
+                                            reverse=reverse)
         red = _color_mask(lvl.shape, b.dtype)
         masks = {0: red, 1: 1.0 - red}
         if half:

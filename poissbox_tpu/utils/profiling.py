@@ -30,23 +30,25 @@ def kernel_time(fn: Callable, example, lo: int = 10, hi: int = 40,
                 reps: int = 3) -> float:
     """Steady-state seconds per application of `fn` on `example`.
 
-    The iteration count is passed as a traced argument (one compile serves
-    every count) and `hi` is doubled until the differenced device time
-    clearly dominates the host<->device jitter — without this, micro-kernels
-    (e.g. 64^3 sweeps at ~us scale) difference to noise and report garbage.
+    `hi` is grown until the differenced device time clearly dominates the
+    host<->device jitter — without this, micro-kernels (e.g. 64^3 sweeps
+    at ~us scale) difference to noise and report garbage. The loop bound
+    stays STATIC (one jit per count): a traced bound compiles to a
+    while-loop that XLA cannot unroll, which destroys the VMEM-resident
+    chaining that defines the steady-state number on small grids.
     """
-    f = jax.jit(lambda v, it: jnp.sum(
-        jax.lax.fori_loop(0, it, lambda _, w: fn(w), v)))
 
     def timed(iters: int) -> float:
+        f = jax.jit(lambda v: jnp.sum(
+            jax.lax.fori_loop(0, iters, lambda _, w: fn(w), v)))
+        float(f(example))  # compile + warm
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(f(example, iters))
+            float(f(example))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    float(f(example, lo))  # compile + warm
     t_lo = timed(lo)
     t_hi = timed(hi)
     while hi < 20000 and (t_hi - t_lo) <= max(0.5 * t_lo, 0.020):

@@ -163,3 +163,36 @@ class TestKSPDispatch:
             _w.simplefilter("error")
             make_solver(A, opts, shape=grid.n, deltas=grid.deltas,
                         dtype=jnp.float32)
+
+
+class TestCustomNullspace:
+    def test_custom_projector_not_assumed_constant(self):
+        """CG must apply a NON-mean-removal nullspace projector generically
+        (the folded fast path is only valid for the canonical marked
+        projector)."""
+        n = 16
+        grid = Grid3D((n, n, n))
+        x0, y0, z0 = grid.coords()
+        # null vector: the (1,0,0) Fourier mode of a modified problem —
+        # emulate with a projector removing a non-constant component
+        v = jnp.cos(2 * jnp.pi * x0)
+        v = v / jnp.linalg.norm(v.ravel())
+
+        base = make_laplacian_operator(grid)
+
+        def proj(u):
+            # remove both the constant AND the v component
+            u = u - jnp.mean(u)
+            return u - jnp.sum(u * v) * v
+
+        import dataclasses
+        A = dataclasses.replace(base, nullspace=proj)
+        u_exact = proj(jax.random.uniform(jax.random.PRNGKey(3), grid.n,
+                                          jnp.float64, -1.0, 1.0))
+        b = A(u_exact)
+        res = cg(A, b, rtol=1e-10, max_it=400)
+        # iterates stay in range(proj): no growth along v
+        assert abs(float(jnp.sum(res.x * v))) < 1e-8
+        r = b - A(res.x)
+        assert float(jnp.linalg.norm(r.ravel())) < 1e-8 * max(
+            1.0, float(jnp.linalg.norm(b.ravel())))
