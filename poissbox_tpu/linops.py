@@ -59,6 +59,11 @@ class LinearOperator:
     # optional fused matvec + dot: x -> (A x, <x, A x>); lets CG evaluate
     # p'Ap without re-reading p and Ap from HBM (Pallas kernels provide it)
     apply_dot: Optional[Callable[[Array], tuple]] = None
+    # fields live on ONE device (no GSPMD sharding): solvers may run
+    # element-wise Pallas kernels (e.g. the fused CG x/r update) on them —
+    # pallas_call cannot be auto-partitioned, so sharded operators must
+    # leave this False
+    local_pallas: bool = False
 
     def __call__(self, x: Array) -> Array:
         return self.apply(x)

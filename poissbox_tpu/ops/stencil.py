@@ -98,6 +98,7 @@ def make_laplacian_operator(grid, impl: str = "auto"):
     if impl == "auto":
         impl = default_impl(grid.n, grid.mesh)
     apply_dot = None
+    local_pallas = False
     if impl == "roll":
         apply = lambda u: apply_laplacian(u, deltas)
     elif impl == "pointwise":
@@ -109,6 +110,7 @@ def make_laplacian_operator(grid, impl: str = "auto"):
         )
         apply = lambda u: apply_laplacian_pallas(u, deltas)
         apply_dot = lambda u: apply_laplacian_dot_pallas(u, deltas)
+        local_pallas = True
     elif impl == "dist":
         if grid.mesh is None:
             raise ValueError("impl='dist' needs a grid with a device mesh")
@@ -128,6 +130,7 @@ def make_laplacian_operator(grid, impl: str = "auto"):
         nullspace=make_nullspace_projector(),
         symmetric=True,
         apply_dot=apply_dot,
+        local_pallas=local_pallas,
     )
 
 

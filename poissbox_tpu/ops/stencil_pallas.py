@@ -308,15 +308,117 @@ def _apply_dot(u, deltas, tiles):
     return out, jnp.sum(parts)
 
 
+def _lapl_dot_kernel_pan(xm, ym, cur, yp, xp, out_ref, part_ref, *, invs):
+    """Paneled-scheme variant of the fused matvec + partial dot (y tiled
+    with 8-row halo slabs; large-plane grids where full-y blocks exceed
+    VMEM)."""
+    _star_into(out_ref, cur, invs, xm, xp, ym, yp)
+    p = jnp.sum(cur[:] * out_ref[:])
+    ii = jax.lax.broadcasted_iota(jnp.int32, part_ref.shape, 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, part_ref.shape, 1)
+    part_ref[:] = jnp.where((ii == 0) & (jj == 0), p, 0.0).astype(part_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("deltas", "tiles"))
+def _apply_dot_pan(u, deltas, tiles):
+    nx, ny, nz = u.shape
+    tx, ty = tiles
+    gi, gj = nx // tx, ny // ty
+    invs = tuple(1.0 / float(d) ** 2 for d in deltas)
+    vm = pltpu.VMEM
+    blk = pl.BlockSpec((tx, ty, nz), lambda i, j: (i, j, 0), memory_space=vm)
+    xplane = lambda off: pl.BlockSpec(
+        (1, ty, nz), lambda i, j: ((i * tx + off) % nx, j, 0),
+        memory_space=vm)
+    slab = 16 if u.dtype.itemsize < 4 else 8
+    nyb, tyb = ny // slab, ty // slab
+    ym_spec = pl.BlockSpec((tx, slab, nz),
+                           lambda i, j: (i, (j * tyb - 1) % nyb, 0),
+                           memory_space=vm)
+    yp_spec = pl.BlockSpec((tx, slab, nz),
+                           lambda i, j: (i, ((j + 1) * tyb) % nyb, 0),
+                           memory_space=vm)
+    out, parts = pl.pallas_call(
+        functools.partial(_lapl_dot_kernel_pan, invs=invs),
+        out_shape=(jax.ShapeDtypeStruct(u.shape, u.dtype),
+                   jax.ShapeDtypeStruct((gi * 8, gj * 128), u.dtype)),
+        grid=(gi, gj),
+        in_specs=[xplane(-1), ym_spec, blk, yp_spec, xplane(tx)],
+        out_specs=(blk, pl.BlockSpec((8, 128), lambda i, j: (i, j),
+                                     memory_space=vm)),
+        cost_estimate=pl.CostEstimate(
+            flops=11 * u.size, bytes_accessed=2 * u.size * u.dtype.itemsize,
+            transcendentals=0),
+        interpret=jax.default_backend() != "tpu",
+    )(u, u, u, u, u)
+    return out, jnp.sum(parts)
+
+
+def _cg_update_kernel(al_ref, x_ref, p_ref, r_ref, ap_ref,
+                      xo_ref, ro_ref, rr_ref, sr_ref):
+    """Fused CG iterate update: x' = x + alpha*p, r' = r - alpha*Ap, with
+    the ||r'||^2 and sum(r') partials computed in the same pass — and x/r
+    written through their own buffers (write range == read range per
+    block). Replaces ~3 XLA elementwise kernels + a reduction pass."""
+    a = al_ref[0]
+    xo_ref[:] = x_ref[:] + a * p_ref[:]
+    rn = r_ref[:] - a * ap_ref[:]
+    ro_ref[:] = rn
+    ii = jax.lax.broadcasted_iota(jnp.int32, rr_ref.shape, 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, rr_ref.shape, 1)
+    at00 = (ii == 0) & (jj == 0)
+    rr_ref[:] = jnp.where(at00, jnp.sum(rn * rn), 0.0).astype(rr_ref.dtype)
+    sr_ref[:] = jnp.where(at00, jnp.sum(rn), 0.0).astype(sr_ref.dtype)
+
+
+@jax.jit
+def cg_fused_update(alpha, x, p, r, ap):
+    """(x + alpha*p, r - alpha*Ap, ||r'||^2, sum(r')) in one memory pass
+    over the four fields. Single-device only (pallas_call cannot be
+    auto-partitioned)."""
+    nx, ny, nz = x.shape
+    plane = ny * nz * x.dtype.itemsize
+    T = 8
+    while T > 1 and (nx % T or 12 * T * plane > 48 * 2**20):
+        T //= 2
+    gi = nx // T
+    vm = pltpu.VMEM
+    blk = pl.BlockSpec((T, ny, nz), lambda i: (i, 0, 0), memory_space=vm)
+    part = pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=vm)
+    xo, ro, rr, sr = pl.pallas_call(
+        _cg_update_kernel,
+        out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),
+                   jax.ShapeDtypeStruct(x.shape, x.dtype),
+                   jax.ShapeDtypeStruct((gi * 8, 128), x.dtype),
+                   jax.ShapeDtypeStruct((gi * 8, 128), x.dtype)),
+        grid=(gi,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  blk, blk, blk, blk],
+        out_specs=(blk, blk, part, part),
+        input_output_aliases={1: 0, 3: 1},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * x.size,
+            bytes_accessed=6 * x.size * x.dtype.itemsize,
+            transcendentals=0),
+        interpret=jax.default_backend() != "tpu",
+    )(jnp.reshape(alpha, (1,)).astype(x.dtype), x, p, r, ap)
+    return xo, ro, jnp.sum(rr), jnp.sum(sr)
+
+
 def apply_laplacian_dot_pallas(u: jax.Array, deltas: Sequence[float]):
     """(A u, <u, A u>) in one fused pass — the CG matvec + pAp dot without
-    the extra read of u and A u. Full-y tiles only; large-plane grids fall
-    back to the separate matvec + XLA dot."""
+    the extra read of u and A u, in both the full-y and the paneled tiling
+    schemes."""
     tiles = _pick_tiles(u)
+    d = tuple(float(x) for x in deltas)
     if tiles[1] != u.shape[1]:
-        out = apply_laplacian_pallas(u, deltas)
-        return out, jnp.sum(u * out)
-    return _apply_dot(u, tuple(float(d) for d in deltas), tiles)
+        slab = 16 if u.dtype.itemsize < 4 else 8
+        if tiles[1] % slab:
+            out = apply_laplacian_pallas(u, deltas)
+            return out, jnp.sum(u * out)
+        return _apply_dot_pan(u, d, tiles)
+    return _apply_dot(u, d, tiles)
 
 
 @functools.partial(jax.jit, static_argnames=("deltas", "tiles"))

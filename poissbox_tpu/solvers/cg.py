@@ -126,6 +126,9 @@ def cg(
         A.nullspace, "is_constant_projector", False)
     explicit_proj = A.nullspace is not None and not project_z
     inv_n = 1.0 / b.size
+    # fused x/r update + in-pass ||r||^2, sum(r) partials (single-device
+    # Pallas operators only — the kernel cannot be auto-partitioned)
+    fuse_upd = bool(getattr(A, "local_pallas", False)) and b.ndim == 3
 
     def body(s: _CGState) -> _CGState:
         if A.apply_dot is not None:
@@ -140,19 +143,25 @@ def cg(
         # already converged to working precision, so report that)
         ok = (pAp != 0.0) & (s.rz != 0.0)
         alpha = jnp.where(ok, s.rz / jnp.where(ok, pAp, 1.0), 0.0)
-        x = s.x + alpha * s.p
-        r = s.r - alpha * Ap
+        if fuse_upd:
+            from poissbox_tpu.ops.stencil_pallas import cg_fused_update
+            x, r, rr_k, sr_k = cg_fused_update(alpha, s.x, s.p, s.r, Ap)
+        else:
+            x = s.x + alpha * s.p
+            r = s.r - alpha * Ap
+            rr_k = sr_k = None
         v = precond(r)
         if explicit_proj:
             v = A.project(v)
         if M is None and not explicit_proj:
-            rr = _dot(r, r)
-            rv, sv, sr = rr, jnp.sum(r), None
+            rr = rr_k if fuse_upd else _dot(r, r)
+            rv, sv, sr = rr, (sr_k if fuse_upd else jnp.sum(r)), None
         else:
             rv = _dot(r, v)
             sv = jnp.sum(v)
-            sr = jnp.sum(r)
-            rr = None if natural else _dot(r, r)
+            sr = sr_k if fuse_upd else jnp.sum(r)
+            rr = (None if natural
+                  else (rr_k if fuse_upd else _dot(r, r)))
         if project_z:
             rz_new = rv - sv * ((sv if sr is None else sr) * inv_n)
             zshift = sv * inv_n

@@ -197,6 +197,19 @@ class TestPallasSmoothers:
                                    rtol=1e-13, atol=1e-10)
         assert abs(float(dot - jnp.sum(u * ref))) < 1e-6 * abs(float(dot))
 
+    def test_fused_matvec_dot_paneled(self):
+        # paneled tiling scheme (large planes): same fused contract
+        from poissbox_tpu.ops.stencil_pallas import _apply_dot_pan
+        from poissbox_tpu.ops.stencil_pallas import apply_laplacian_pallas
+        n = 32
+        d = (1.0 / n,) * 3
+        u = jax.random.normal(jax.random.PRNGKey(15), (n, n, n), jnp.float64)
+        out, dot = _apply_dot_pan(u, d, (8, 8))
+        ref = apply_laplacian_pallas(u, d)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-13, atol=1e-10)
+        assert abs(float(dot - jnp.sum(u * ref))) < 1e-9 * abs(float(dot))
+
     def test_cg_with_fused_dot_operator(self):
         # CG driven through apply_dot must match the plain path
         from poissbox_tpu.mesh import Grid3D

@@ -196,3 +196,29 @@ class TestCustomNullspace:
         r = b - A(res.x)
         assert float(jnp.linalg.norm(r.ravel())) < 1e-8 * max(
             1.0, float(jnp.linalg.norm(b.ravel())))
+
+
+class TestFusedCGUpdate:
+    def test_kernel_matches_unfused(self):
+        from poissbox_tpu.ops.stencil_pallas import cg_fused_update
+        n = 32
+        k = jax.random.split(jax.random.PRNGKey(9), 4)
+        x, p, r, ap = (jax.random.uniform(kk, (n, n, n), jnp.float64)
+                       for kk in k)
+        alpha = jnp.float64(0.37)
+        xo, ro, rr, sr = cg_fused_update(alpha, x, p, r, ap)
+        # fma grouping differs between compilations -> one-ulp noise
+        assert float(jnp.max(jnp.abs(xo - (x + alpha * p)))) < 1e-14
+        rn = r - alpha * ap
+        assert float(jnp.max(jnp.abs(ro - rn))) < 1e-14
+        assert abs(float(rr - jnp.sum(rn * rn))) < 1e-9 * abs(float(rr))
+        assert abs(float(sr - jnp.sum(rn))) < 1e-9
+
+    def test_cg_with_fused_update_matches(self):
+        import dataclasses
+        grid, A, u, b = _problem()
+        ref = cg(A, b, rtol=1e-10, max_it=60)
+        Af = dataclasses.replace(A, local_pallas=True)
+        got = cg(Af, b, rtol=1e-10, max_it=60)
+        assert int(got.iterations) == int(ref.iterations)
+        assert rms(np.asarray(got.x - ref.x)) < 1e-10
