@@ -48,21 +48,6 @@ def _hbm_gbps() -> float:
     return 819.0  # conservative default
 
 
-def _timed_loop(fn, u, iters: int) -> float:
-    """Best-of-3 wall time of `iters` chained applications, with a scalar
-    readback forcing execution (block_until_ready does not reliably block
-    on tunneled platforms)."""
-    f = jax.jit(lambda v: jnp.sum(
-        jax.lax.fori_loop(0, iters, lambda _, w: fn(w), v)))
-    float(f(u))  # compile + warm
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(f(u))
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
 def bench_stencil(n: int, dtype, lo: int = 25, hi: int = 100) -> dict:
     """Stencil GDoF/s via differenced device-side loops: (t_hi - t_lo) /
     (hi - lo) cancels host-device roundtrip latency."""

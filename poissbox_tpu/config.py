@@ -116,7 +116,10 @@ class SolverOptions:
     mg_levels: int = 0             # 0 = auto (coarsen to the smallest grid)
     mg_levels_ksp_type: str = "richardson"
     mg_levels_pc_type: str = "sor"  # sor (red-black) | jacobi
-    mg_levels_ksp_max_it: int = 2
+    # cap on level-solve sweeps (PETSc stops at rtol OR max_it, whichever
+    # binds first); 3 is the measured end-to-end optimum on v5e at 256^3
+    # (matches MGConfig.pre/post_smooth)
+    mg_levels_ksp_max_it: int = 3
     mg_levels_ksp_rtol: float = 1.0e-4
     mg_levels_damping: float = 1.0  # richardson damping / jacobi weight
     mg_coarse_pc_type: str = "svd"  # svd | direct
