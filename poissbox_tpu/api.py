@@ -52,12 +52,24 @@ class PoissonSolver:
                  length: Sequence[float] = (1.0, 1.0, 1.0),
                  options: Options | SolverOptions | None = None,
                  shard: bool = False,
-                 dtype=None):
+                 dtype=None,
+                 order: int = 2):
         grid = Grid3D(tuple(n), tuple(length))
         if shard:
             grid = grid.with_mesh()
         self.grid = grid
-        self.A: LinearOperator = make_laplacian_operator(grid)
+        if order == 2:
+            self.A: LinearOperator = make_laplacian_operator(grid)
+        elif order == 6:
+            # 6th-order compact Laplacian; Krylov solves reuse the
+            # 2nd-order GMG preconditioner (spectrally equivalent), and
+            # ksp_type="fft" is the exact spectral pseudo-inverse
+            from poissbox_tpu.ops.compact import (
+                make_compact_laplacian_operator,
+            )
+            self.A = make_compact_laplacian_operator(grid)
+        else:
+            raise ValueError(f"order must be 2 or 6, got {order}")
         if isinstance(options, Options):
             options = SolverOptions.from_options(options)
         if options is None:

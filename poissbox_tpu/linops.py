@@ -64,6 +64,9 @@ class LinearOperator:
     # pallas_call cannot be auto-partitioned, so sharded operators must
     # leave this False
     local_pallas: bool = False
+    # optional exact direct solve x = A^+ b (shift-invariant periodic
+    # operators are FFT-diagonalizable); consumed by ksp_type="fft"
+    direct_solve: Optional[Callable[[Array], Array]] = None
 
     def __call__(self, x: Array) -> Array:
         return self.apply(x)

@@ -414,3 +414,33 @@ def lapl(f: Array, deltas: Sequence[float], method: str = "auto") -> Array:
     # div Z sweep in (z, y, x): interp'(f1 + f2) + div'(f3), one kernel
     out = _sum2(_cyc(f1), _cyc(f2), _cyc(f3), op_ip, dvz)
     return jnp.transpose(out, (2, 1, 0))
+
+
+def make_compact_laplacian_operator(grid):
+    """The 6th-order compact Laplacian as a first-class LinearOperator —
+    the unification the reference never does (its compact stack is serial
+    and test-only, reference CHANGELOG.md:9-20): solvable by Krylov methods
+    (use the 2nd-order GMG preconditioner — the operators are spectrally
+    equivalent) or exactly by `ksp_type="fft"` via the operator's rational
+    trigonometric symbol (solvers.fft.compact_inv_eigenvalues).
+
+    NOTE the staggered interpolation annihilates Nyquist modes, so the
+    operator's kernel is larger than span{1}; the direct solve returns the
+    minimal-norm pseudo-inverse solution, and Krylov solves expect a RHS
+    in range(A) (e.g. manufactured b = A u).
+    """
+    from poissbox_tpu.linops import LinearOperator, make_nullspace_projector
+
+    deltas = tuple(float(d) for d in grid.deltas)
+
+    def direct_solve(b):
+        from poissbox_tpu.solvers.fft import compact_poisson_solve_fft
+        return compact_poisson_solve_fft(b, deltas)
+
+    return LinearOperator(
+        apply=lambda u: lapl(u, deltas),
+        nullspace=make_nullspace_projector(),
+        symmetric=True,
+        direct_solve=None if grid.mesh is not None and grid.mesh.size > 1
+        else direct_solve,
+    )

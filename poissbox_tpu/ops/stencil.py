@@ -124,6 +124,11 @@ def make_laplacian_operator(grid, impl: str = "auto"):
         raise ValueError(f"unknown stencil impl {impl!r}")
 
     diag_val = -2.0 * sum(1.0 / float(d) ** 2 for d in deltas)
+
+    def direct_solve(b):
+        from poissbox_tpu.solvers.fft import poisson_solve_fft
+        return poisson_solve_fft(b, deltas)
+
     return LinearOperator(
         apply=apply,
         diagonal=lambda: jnp.asarray(diag_val),
@@ -131,6 +136,8 @@ def make_laplacian_operator(grid, impl: str = "auto"):
         symmetric=True,
         apply_dot=apply_dot,
         local_pallas=local_pallas,
+        direct_solve=None if grid.mesh is not None and grid.mesh.size > 1
+        else direct_solve,
     )
 
 

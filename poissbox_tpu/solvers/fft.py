@@ -86,8 +86,12 @@ def poisson_solve_fft(b: Array, deltas: Sequence[float]) -> Array:
 
 def fft_solver_result(A, b: Array, deltas: Sequence[float]) -> SolveResult:
     """Run the direct solve and wrap it as a SolveResult (one 'iteration',
-    residual measured, PETSc-style reason code)."""
-    x = poisson_solve_fft(b, deltas)
+    residual measured, PETSc-style reason code). Uses the operator's own
+    spectral solve when it provides one (7-point or compact 6th-order)."""
+    if getattr(A, "direct_solve", None) is not None:
+        x = A.direct_solve(b)
+    else:
+        x = poisson_solve_fft(b, deltas)
     r = A.project(b) - A(x)
     resnorm = jnp.sqrt(jnp.sum(r * r))
     hist = jnp.stack([jnp.sqrt(jnp.sum(b * b)), resnorm])
@@ -98,3 +102,86 @@ def fft_solver_result(A, b: Array, deltas: Sequence[float]) -> SolveResult:
         history=hist,
         reason=jnp.int32(ConvergedReason.CONVERGED_ATOL),
     )
+
+
+# ---------------------------------------------------------------------------
+# 6th-order compact Laplacian — spectral symbol and direct solve
+# ---------------------------------------------------------------------------
+#
+# The compact-scheme operators are periodic and shift-invariant, so the DFT
+# diagonalizes them too. The reference never wires its compact stack into a
+# solver (the stacks are disjoint, reference CHANGELOG.md:9-20); here the
+# 6th-order Poisson system is solved directly. Each 1-D operator has the
+# rational trigonometric symbol
+#
+#   T(theta) = R(theta) / L(theta),   L = 1 + 2 alpha cos(theta)
+#   R = a (e^{i sh th} + s e^{i(sh-1)th}) + b (e^{i(sh+1)th} + s e^{i(sh-2)th})
+#
+# (taps from compact_rhs, reference src/compact_schemes.f90:332-372), and the
+# composed 3-D Laplacian div(grad) symbol is
+#
+#   S = sum_d D_d G_d * prod_{e != d} I_e I'_e
+#
+# per the sweep structure (reference :17-37). NOTE the staggered interp
+# annihilates Nyquist modes (I(pi) = 0), so the compact Laplacian's kernel
+# is larger than span{1}: the direct solve is the minimal-norm PSEUDO-
+# inverse, zeroing all kernel modes.
+
+def _op_symbol(theta, a: float, b: float, opsign: int, shift: int,
+               alpha: float):
+    s = float(opsign)
+    e = lambda m: jnp.exp(1j * m * theta)
+    R = (a * (e(shift) + s * e(shift - 1))
+         + b * (e(shift + 1) + s * e(shift - 2)))
+    return R / (1.0 + 2.0 * alpha * jnp.cos(theta))
+
+
+def compact_inv_eigenvalues(shape, deltas, dtype):
+    """Pseudo-inverse eigenvalues of the 6th-order compact Laplacian, in
+    full-fft layout, evaluated on-device (no giant compile-time literals)."""
+    from poissbox_tpu.ops.coefficients import (
+        compact_grad_coeffs,
+        compact_interp_coeffs,
+    )
+    cplx = jnp.complex64 if jnp.dtype(dtype) == jnp.float32 else jnp.complex128
+    real = jnp.float32 if cplx == jnp.complex64 else jnp.float64
+    ci = compact_interp_coeffs()
+
+    def axis_parts(n, d):
+        theta = (2.0 * jnp.pi / n) * jnp.arange(n, dtype=real)
+        cg = compact_grad_coeffs(d)
+        G = _op_symbol(theta, cg.a, cg.b, -1, 0, cg.alpha)   # grad, cell->vtx
+        D = _op_symbol(theta, cg.a, cg.b, -1, 1, cg.alpha)   # div', vtx->cell
+        I = _op_symbol(theta, ci.a, ci.b, +1, 0, ci.alpha)   # interp
+        Ip = _op_symbol(theta, ci.a, ci.b, +1, 1, ci.alpha)  # interp'
+        return (D * G).astype(cplx), (I * Ip).astype(cplx)
+
+    nx, ny, nz = shape
+    dx, dy, dz = deltas
+    DGx, IIx = axis_parts(nx, dx)
+    DGy, IIy = axis_parts(ny, dy)
+    DGz, IIz = axis_parts(nz, dz)
+    S = (DGx[:, None, None] * IIy[None, :, None] * IIz[None, None, :]
+         + IIx[:, None, None] * DGy[None, :, None] * IIz[None, None, :]
+         + IIx[:, None, None] * IIy[None, :, None] * DGz[None, None, :])
+    mag = jnp.abs(S)
+    tol = (1e-6 if cplx == jnp.complex64 else 1e-12) * jnp.max(mag)
+    return jnp.where(mag > tol, 1.0 / jnp.where(mag > tol, S, 1.0),
+                     0.0).astype(cplx)
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("deltas",))
+def _compact_solve_jit(b, deltas):
+    inv = compact_inv_eigenvalues(tuple(b.shape), deltas, b.dtype)
+    xhat = jnp.fft.fftn(b) * inv
+    return jnp.fft.ifftn(xhat).real.astype(b.dtype)
+
+
+def compact_poisson_solve_fft(b: Array, deltas: Sequence[float]) -> Array:
+    """x = A^+ b for the 6th-order compact Laplacian — the high-order
+    direct solve the reference lacks entirely. Jitted at the definition:
+    the tunneled TPU backend cannot execute complex primitives eagerly."""
+    return _compact_solve_jit(b, tuple(float(d) for d in deltas))
