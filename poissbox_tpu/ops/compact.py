@@ -75,27 +75,30 @@ def compact_rhs(f: Array, a: float, b: float, opsign: int, stagger: int,
 def _toeplitz_factor(n: int, alpha: float, dtype_name: str, method: str):
     """Factor the periodic (alpha, 1, alpha) system of size n, once.
 
-    Runs eagerly — `ensure_compile_time_eval` forces concrete evaluation
-    even when the first call happens inside a jit trace (otherwise the
-    cache would capture tracers and leak them into later traces). Under
-    `jit` the factorization is baked into the executable as constants
-    rather than recomputed per apply. method 'pallas' returns the
-    VMEM-resident Thomas kernel (ops.tridiag_pallas); 'pscan'/'seq' the
-    XLA solvers.
+    Runs eagerly and concretely no matter where the first call happens:
+    trace contexts are thread-local, so building on a fresh thread escapes
+    ANY ambient trace — `ensure_compile_time_eval` alone cannot escape an
+    eager `shard_map` body trace (its constants stay ShardMapTracers, which
+    would poison the cache). Under `jit` the factorization is baked into
+    the executable as constants rather than recomputed per apply. method
+    'pallas' returns the VMEM-resident Thomas kernel (ops.tridiag_pallas);
+    'pscan'/'seq' the XLA solvers.
     """
-    with jax.ensure_compile_time_eval():
+    def build():
         dt = jnp.dtype(dtype_name)
         a = jnp.full((n,), alpha, dt)
         b = jnp.ones((n,), dt)
         c = jnp.full((n,), alpha, dt)
         if method == "pallas":
             from poissbox_tpu.ops.tridiag_pallas import PallasTridiagFactor
-            fac = PallasTridiagFactor(a, b, c, periodic=True)
-        else:
-            fac = TridiagFactor(a, b, c, periodic=True, method=method)
-    # strip device arrays to host numpy: a cached factor built inside one
-    # trace context (e.g. a shard_map body on some mesh) must not leak that
-    # context's aval mesh into later traces on a different mesh
+            return PallasTridiagFactor(a, b, c, periodic=True)
+        return TridiagFactor(a, b, c, periodic=True, method=method)
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fac = ex.submit(build).result()
+    # strip device arrays to host numpy: a cached factor must not leak one
+    # trace context's aval mesh into later traces on a different mesh
     import numpy as _np
     for k, v in list(vars(fac).items()):
         if isinstance(v, jax.Array):
@@ -433,14 +436,24 @@ def make_compact_laplacian_operator(grid):
 
     deltas = tuple(float(d) for d in grid.deltas)
 
+    meshed = grid.mesh is not None and grid.mesh.size > 1
+
     def direct_solve(b):
+        if meshed:  # pencil-FFT transposes keep every transform local
+            from poissbox_tpu.solvers.fft import compact_poisson_solve_fft_dist
+            return compact_poisson_solve_fft_dist(b, grid)
         from poissbox_tpu.solvers.fft import compact_poisson_solve_fft
         return compact_poisson_solve_fft(b, deltas)
 
+    if meshed:  # pencil-transposed sweeps keep every line solve local
+        from poissbox_tpu.ops import compact_dist
+        apply = lambda u: compact_dist.lapl(u, grid)
+    else:
+        apply = lambda u: lapl(u, deltas)
+
     return LinearOperator(
-        apply=lambda u: lapl(u, deltas),
+        apply=apply,
         nullspace=make_nullspace_projector(),
         symmetric=True,
-        direct_solve=None if grid.mesh is not None and grid.mesh.size > 1
-        else direct_solve,
+        direct_solve=direct_solve,
     )

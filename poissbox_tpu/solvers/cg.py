@@ -48,6 +48,7 @@ def cg(
     atol: float = 1.0e-50,
     max_it: int = 500,
     norm_type: str = "unpreconditioned",
+    flexible: bool = False,
 ) -> SolveResult:
     """Solve A x = b by (preconditioned) CG.
 
@@ -65,6 +66,14 @@ def cg(
         preconditioner) chosen because the demo/tests verify the *true*
         residual; 'natural' uses sqrt(<r, M r>) (PETSc KSP_NORM_NATURAL),
         which costs no extra reduction since CG already forms <r, z>.
+      flexible: use the Polak-Ribiere beta <r_{k+1}-r_k, z_{k+1}> / <r_k, z_k>
+        instead of Fletcher-Reeves (PETSc KSPFCG with mmax=1, Notay's
+        flexible CG). Mathematically identical for a fixed SPD
+        preconditioner, but stays convergent when M varies between
+        applications — a bf16 V-cycle whose rounding noise is
+        iteration-dependent, level-rtol inner solves, or restarted inner
+        Krylov smoothers. Costs one extra global reduction per iteration
+        (<A p, z>; r_{k+1}-r_k = -alpha*A p so no extra vector is kept).
 
     Returns a :class:`SolveResult`; `history[i]` is the monitored norm at
     iteration i (NaN past the final iteration so the pytree has static
@@ -168,7 +177,16 @@ def cg(
         else:
             rz_new = rv
             zshift = 0.0
-        beta = jnp.where(ok, rz_new / jnp.where(ok, s.rz, 1.0), 0.0)
+        if flexible:
+            # beta_PR = <r_{k+1} - r_k, z_{k+1}> / rz_k = -alpha <A p, z> / rz_k
+            # (z = v - zshift; <A p, 1> folds in like the other reductions)
+            apz = _dot(Ap, v)
+            if project_z:
+                apz = apz - zshift * jnp.sum(Ap)
+            numer = -alpha * apz
+        else:
+            numer = rz_new
+        beta = jnp.where(ok, numer / jnp.where(ok, s.rz, 1.0), 0.0)
         p = (v - zshift) + beta * s.p
         norm = (jnp.sqrt(jnp.maximum(rz_new, 0.0)) if natural
                 else jnp.sqrt(rr))

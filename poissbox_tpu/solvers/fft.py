@@ -84,12 +84,96 @@ def poisson_solve_fft(b: Array, deltas: Sequence[float]) -> Array:
     return jnp.fft.ifftn(xhat).real.astype(b.dtype)
 
 
-def fft_solver_result(A, b: Array, deltas: Sequence[float]) -> SolveResult:
+# ---------------------------------------------------------------------------
+# Distributed spectral solves — pencil-decomposed 3-D FFT
+# ---------------------------------------------------------------------------
+#
+# XLA has no partitioning rule for a 3-D FFT over a sharded spatial array
+# (it would all-gather the field). The 2decomp answer — and this framework's
+# sequence-parallel machinery (`parallel.pencil`) — is the transpose method:
+# 1-D transforms along each axis with that axis device-local, all-to-all
+# pencil transposes between, so every FFT is a batched local transform and
+# every hop is a single-mesh-axis all-to-all over ICI. The spectral divide
+# is pointwise and runs in whatever pencil layout the forward pass ends in
+# (GSPMD slices the iota-generated eigenvalue field to match).
+
+
+def _spectral_solve_pencil(b: Array, grid, inv: Array) -> Array:
+    """x = F^-1 (inv * F b) with all transforms pencil-local."""
+    from jax.sharding import NamedSharding
+
+    from poissbox_tpu.parallel.pencil import from_pencil, pencil_spec, to_pencil
+
+    def pin(f, axis):
+        # pin each transform's OUTPUT to the pencil layout as well: left to
+        # propagation, the partitioner may shard an FFT along its transform
+        # axis (its fft handler also miscompiles c128 — emits c64 constants)
+        return jax.lax.with_sharding_constraint(
+            f, NamedSharding(grid.mesh, pencil_spec(grid, axis)))
+
+    cplx = jnp.complex64 if b.dtype == jnp.float32 else jnp.complex128
+    f = b.astype(cplx)
+    prev: int | None = None
+    for axis in (2, 1, 0):
+        f = to_pencil(f, grid, axis, from_dim=prev)
+        f = pin(jnp.fft.fft(f, axis=axis), axis)
+        prev = axis
+    f = f * inv.astype(cplx)
+    for axis in (0, 1, 2):  # starts where the forward pass ended (x-pencils)
+        f = to_pencil(f, grid, axis, from_dim=prev)
+        f = pin(jnp.fft.ifft(f, axis=axis), axis)
+        prev = axis
+    return from_pencil(f, grid, from_dim=prev).real.astype(b.dtype)
+
+
+def poisson_solve_fft_dist(b: Array, grid) -> Array:
+    """Distributed x = A^+ b for the periodic 7-point Laplacian: the exact
+    direct solve at any device count (the reference's PETSc path has no
+    direct solver at all; its distributed solves are Krylov-only,
+    reference src/poissbox.f90:293-296)."""
+    if grid.mesh is None or grid.mesh.size == 1:
+        return poisson_solve_fft(b, grid.deltas)
+    inv = _inv_eigenvalues(tuple(b.shape),
+                           tuple(float(d) for d in grid.deltas),
+                           b.dtype, rfft=False)
+    return _spectral_solve_pencil(b, grid, inv)
+
+
+def compact_poisson_solve_fft_dist(b: Array, grid) -> Array:
+    """Distributed 6th-order compact Poisson direct solve (pencil FFTs +
+    the rational trigonometric symbol)."""
+    if grid.mesh is None or grid.mesh.size == 1:
+        return compact_poisson_solve_fft(b, grid.deltas)
+    inv = compact_inv_eigenvalues(tuple(b.shape),
+                                  tuple(float(d) for d in grid.deltas),
+                                  b.dtype)
+    return _spectral_solve_pencil(b, grid, inv)
+
+
+def make_fft_preconditioner(deltas: Sequence[float], grid=None):
+    """The exact periodic inverse as a PRECONDITIONER (`-pc_type fft`).
+
+    For the uniform 7-point operator itself this makes any Krylov method
+    converge in one iteration; its real use is as a spectrally-equivalent
+    preconditioner for operators the FFT does NOT diagonalize into the same
+    symbol — the 6th-order compact system (2nd-order symbol ~ 6th-order
+    symbol uniformly in k), and variable-coefficient extensions, where it
+    plays the role GAMG plays for the reference's assembled matrix."""
+    deltas = tuple(float(d) for d in deltas)
+    if grid is not None and grid.mesh is not None and grid.mesh.size > 1:
+        return lambda r: poisson_solve_fft_dist(r, grid)
+    return lambda r: poisson_solve_fft(r, deltas)
+
+
+def fft_solver_result(A, b: Array, deltas: Sequence[float],
+                      grid=None) -> SolveResult:
     """Run the direct solve and wrap it as a SolveResult (one 'iteration',
     residual measured, PETSc-style reason code). Uses the operator's own
     spectral solve when it provides one (7-point or compact 6th-order)."""
     if getattr(A, "direct_solve", None) is not None:
         x = A.direct_solve(b)
+    elif grid is not None and grid.mesh is not None and grid.mesh.size > 1:
+        x = poisson_solve_fft_dist(b, grid)
     else:
         x = poisson_solve_fft(b, deltas)
     r = A.project(b) - A(x)

@@ -5,7 +5,7 @@ The reference wires solver choice entirely through the options database:
 (reference src/poissbox.f90:293-296), configured by `-ksp_*`/`-pc_*`/`-mg_*`
 flags (reference README.md:42-49). :func:`make_solver` assembles the same
 pipeline from a :class:`SolverOptions`: preconditioner construction
-(none/jacobi/mg), Krylov method selection (cg/gmres/richardson), stopping
+(none/jacobi/mg), Krylov method selection (cg/fcg/gmres/richardson), stopping
 controls, and monitor output.
 """
 
@@ -43,6 +43,16 @@ def make_preconditioner(
             raise ValueError("jacobi preconditioning needs an operator diagonal")
         inv_diag = 1.0 / A.diagonal()
         return lambda r: inv_diag * r
+    if opts.pc_type == "fft":
+        # exact periodic 7-point inverse as a spectrally-equivalent
+        # preconditioner (for the compact 6th-order system, variable
+        # coefficients, ...); distributed via pencil FFTs on meshed grids
+        if grid is not None:
+            deltas = grid.deltas if deltas is None else deltas
+        if deltas is None:
+            raise ValueError("fft preconditioning needs the grid deltas")
+        from poissbox_tpu.solvers.fft import make_fft_preconditioner
+        return make_fft_preconditioner(deltas, grid=grid)
     if opts.pc_type == "mg":
         if shape is None or deltas is None:
             raise ValueError("mg preconditioning needs the grid shape and deltas")
@@ -57,16 +67,20 @@ def make_preconditioner(
         from poissbox_tpu.solvers.mg import sweeps_for_level_rtol
         sweeps = sweeps_for_level_rtol(smoother, opts.mg_levels_ksp_rtol,
                                        opts.mg_levels_ksp_max_it)
-        if opts.mg_cycle_dtype == "bfloat16" and opts.ksp_rtol < 1e-5:
+        if (opts.mg_cycle_dtype == "bfloat16" and opts.ksp_rtol < 1e-5
+                and opts.ksp_type != "fcg"):
             # measured on v5e: a bf16 V-cycle's output noise floor stalls
-            # the outer Krylov recursion near ~5e-6 relative — the solve
-            # then spins to max_it without converging. bf16 cycles are for
-            # loose tolerances or refinement inner solves.
+            # the FLETCHER-REEVES recursion near ~5e-6 relative — the solve
+            # then spins to max_it without converging (512^3: 40 it, no
+            # convergence). Flexible CG's Polak-Ribiere beta stays
+            # convergent (512^3: 10 it to 1e-6), so fcg is exempt; plain
+            # cg+bf16 is for loose tolerances or refinement inner solves.
             import warnings
             warnings.warn(
                 f"mg_cycle_dtype=bfloat16 with ksp_rtol={opts.ksp_rtol:g}: "
                 "bf16 preconditioner noise stalls CG near 5e-6 relative; "
-                "use ksp_rtol >= 1e-5 or solve_refined", stacklevel=2)
+                "use -ksp_type fcg, ksp_rtol >= 1e-5, or solve_refined",
+                stacklevel=2)
         cfg = MGConfig(
             levels=opts.mg_levels,
             smoother=smoother,
@@ -81,7 +95,8 @@ def make_preconditioner(
             dtype=opts.mg_cycle_dtype,
         )
         return make_mg_preconditioner(shape, deltas, cfg, dtype, grid=grid)
-    raise ValueError(f"unknown pc_type {opts.pc_type!r} (expected none|jacobi|mg)")
+    raise ValueError(
+        f"unknown pc_type {opts.pc_type!r} (expected none|jacobi|fft|mg)")
 
 
 def make_solver(
@@ -108,8 +123,11 @@ def make_solver(
     common = dict(M=M, rtol=opts.ksp_rtol, atol=opts.ksp_atol,
                   max_it=opts.ksp_max_it)
 
-    if opts.ksp_type == "cg":
+    if opts.ksp_type in ("cg", "fcg"):
+        # fcg = flexible CG (PETSc KSPFCG): Polak-Ribiere beta, robust to
+        # nonstationary preconditioners (bf16 V-cycles, inner Krylov)
         return lambda b, x0=None: cg(A, b, x0, norm_type=opts.ksp_norm_type,
+                                     flexible=opts.ksp_type == "fcg",
                                      **common)
     if opts.ksp_type == "gmres":
         return lambda b, x0=None: gmres(A, b, x0, restart=opts.gmres_restart,
@@ -120,9 +138,10 @@ def make_solver(
         if deltas is None:
             raise ValueError("fft direct solve needs the grid deltas")
         from poissbox_tpu.solvers.fft import fft_solver_result
-        return lambda b, x0=None: fft_solver_result(A, b, deltas)
+        return lambda b, x0=None: fft_solver_result(A, b, deltas, grid=grid)
     raise ValueError(
-        f"unknown ksp_type {opts.ksp_type!r} (expected cg|gmres|richardson|fft)")
+        f"unknown ksp_type {opts.ksp_type!r} "
+        "(expected cg|fcg|gmres|richardson|fft)")
 
 
 def solve(

@@ -165,6 +165,42 @@ class TestKSPDispatch:
                         dtype=jnp.float32)
 
 
+class TestFlexibleCG:
+    """Flexible CG (PETSc KSPFCG analogue): Polak-Ribiere beta."""
+
+    def test_matches_cg_with_stationary_preconditioner(self):
+        # for a FIXED SPD preconditioner PR and FR betas are identical in
+        # exact arithmetic -> same convergence trajectory
+        grid, A, u, b = _problem()
+        inv_diag = 1.0 / A.diagonal()
+        M = lambda r: inv_diag * r
+        r_cg = cg(A, b, M=M, rtol=1e-10, max_it=500)
+        r_fcg = cg(A, b, M=M, rtol=1e-10, max_it=500, flexible=True)
+        assert bool(r_fcg.converged)
+        assert abs(int(r_fcg.iterations) - int(r_cg.iterations)) <= 1
+        assert rms(np.asarray(r_fcg.x - u)) < 1e-8
+
+    def test_nonstationary_preconditioner_converges(self):
+        # a preconditioner whose output carries application-dependent
+        # rounding (bf16 quantization — the bf16-V-cycle failure mode);
+        # flexible beta keeps the recursion convergent
+        grid, A, u, b = _problem()
+        inv_diag = 1.0 / A.diagonal()
+        M = lambda r: (inv_diag * r).astype(jnp.bfloat16).astype(b.dtype)
+        res = cg(A, b, M=M, rtol=1e-9, max_it=2000, flexible=True)
+        assert bool(res.converged)
+        true_res = float(jnp.linalg.norm((A(res.x) - b).ravel()))
+        assert true_res <= 1e-9 * float(jnp.linalg.norm(b.ravel())) * 1.1
+
+    def test_ksp_dispatch(self):
+        grid, A, u, b = _problem()
+        opts = Options(["-ksp_type", "fcg", "-ksp_rtol", "1e-10",
+                        "-pc_type", "jacobi"])
+        res = solve(A, b, opts, shape=grid.n, deltas=grid.deltas)
+        assert bool(res.converged)
+        assert rms(np.asarray(res.x - u)) < 1e-8
+
+
 class TestCustomNullspace:
     def test_custom_projector_not_assumed_constant(self):
         """CG must apply a NON-mean-removal nullspace projector generically
