@@ -126,7 +126,9 @@ class SolverOptions:
     mg_transfers: str = "auto"      # auto | roll | matmul (MXU contraction)
     mg_impl: str = "auto"           # auto | roll | pallas level operators
     mg_cycles: int = 1              # V-cycles per preconditioner application
+    mg_cycle: str = "v"             # v | w (W revisits sub-fine levels twice)
     mg_cycle_dtype: str = ""        # "" = field dtype | bfloat16 | float32
+    mg_pre_dtype: str = ""          # pre-smoother dtype (output stays exact)
     gmres_restart: int = 30
 
     @classmethod

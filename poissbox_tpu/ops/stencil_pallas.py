@@ -256,6 +256,10 @@ def _launch(update, u: jax.Array, tiles, invs, extra=(), **kw):
         cost_estimate=pl.CostEstimate(
             flops=9 * u.size, bytes_accessed=n_in * u.size * u.dtype.itemsize,
             transcendentals=0),
+        # the default 16 MB scoped-vmem limit sits within 64 KB of the
+        # residual kernel's stack at 256^3 full-y tiles (environment flags
+        # tip it over); raise it like the fused kernels below do
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=jax.default_backend() != "tpu",
     )(*args, *extra)
 

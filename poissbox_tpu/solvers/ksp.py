@@ -92,7 +92,9 @@ def make_preconditioner(
             transfers=opts.mg_transfers,
             impl=opts.mg_impl,
             cycles=opts.mg_cycles,
+            cycle=opts.mg_cycle,
             dtype=opts.mg_cycle_dtype,
+            pre_dtype=opts.mg_pre_dtype,
         )
         return make_mg_preconditioner(shape, deltas, cfg, dtype, grid=grid)
     raise ValueError(

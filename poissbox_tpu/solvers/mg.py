@@ -59,6 +59,19 @@ class MGConfig:
     coarse: str = "svd"           # "svd" | "direct" (both dense; svd truncates nullspace)
     coarse_size: int = 4          # stop coarsening at min(n) <= coarse_size
     cycles: int = 1               # V-cycles per preconditioner application
+    # "v" | "w": W revisits sub-fine levels twice per cycle (the second
+    # visit corrects the first: e <- e + C(r - A e), which keeps the cycle
+    # symmetric: S = 2C - C A C = S^T for symmetric C, A). Coarse levels
+    # cost 8x less per level, so a W-cycle adds ~15% to the cycle but
+    # strengthens the coarse correction enough to run weaker (cheaper)
+    # fine-level smoothing at the same outer iteration count.
+    cycle: str = "v"
+    # Depth cap on the W doubling: child levels deeper than `w_depth`
+    # run plain V. Full W doubles visit counts geometrically (2^depth
+    # coarse-solve calls in the unrolled jit graph — slow compiles, and
+    # the sub-1% -work levels don't pay back); depth 2 doubles the two
+    # largest sub-fine levels, which carry ~97% of the sub-fine work.
+    w_depth: int = 2
     impl: str = "auto"            # level-operator impl: auto | roll | pallas
     transfers: str = "auto"       # restriction/prolongation: auto | roll | matmul
     # Cycle compute dtype ("" = the field dtype). "bfloat16" halves the HBM
@@ -69,6 +82,15 @@ class MGConfig:
     # 0-2 extra outer CG iterations — a large net win at 256^3+. The
     # coarse pseudo-inverse solve always runs in the setup dtype.
     dtype: str = ""
+    # Pre-smoother compute dtype ("" = the cycle dtype). Unlike `dtype`,
+    # "bfloat16" here does NOT quantize the cycle's output: the pre-smooth
+    # iterate x1 feeds a full-precision residual r = b - A x1 that accounts
+    # for whatever x1 actually is, so its rounding perturbs only the
+    # convergence RATE (the error modes left for the coarse grid), not the
+    # fixed point — the downward-leg bytes halve at ~zero iteration cost,
+    # where a full-bf16 cycle quantizes the output and stalls plain CG
+    # near 5e-6 relative. Post-smoothing stays in the cycle dtype.
+    pre_dtype: str = ""
 
 
 # High-frequency contraction factor per sweep, used to translate the
@@ -471,6 +493,21 @@ def _pin(x: Array, lvl: _Level) -> Array:
     return jax.lax.with_sharding_constraint(x, sh)
 
 
+def _coarse_correct(levels: Sequence[_Level], coarse_pinv: Array,
+                    cfg: MGConfig, rc: Array, cidx: int) -> Array:
+    """Child-level correction for the restricted residual: one recursive
+    cycle, or two in W-cycle mode (second visit corrects the first —
+    e <- e + C(rc - A e) — which doubles every sub-fine level's visit
+    count, the classical W recursion)."""
+    ec = v_cycle(levels, coarse_pinv, cfg, rc, cidx)
+    if cfg.cycle == "w" and cidx <= cfg.w_depth and cidx < len(levels) - 1:
+        r2 = rc - _lapl(ec, levels[cidx], cfg)
+        ec = ec + v_cycle(levels, coarse_pinv, cfg, r2, cidx)
+    elif cfg.cycle not in ("v", "w"):
+        raise ValueError(f"unknown cycle {cfg.cycle!r} (expected v|w)")
+    return ec
+
+
 def v_cycle(levels: Sequence[_Level], coarse_pinv: Array, cfg: MGConfig,
             b: Array, idx: int = 0) -> Array:
     """One V-cycle for the level-`idx` system A_idx e = b. Pure; levels are
@@ -481,7 +518,14 @@ def v_cycle(levels: Sequence[_Level], coarse_pinv: Array, cfg: MGConfig,
         # cycle dtype; cast back so the upward sweep stays uniform
         flat = b.reshape(-1).astype(coarse_pinv.dtype)
         return (coarse_pinv @ flat).reshape(lvl.shape).astype(b.dtype)
-    x = _smooth(None, b, lvl, cfg, cfg.pre_smooth, reverse=False)
+    pd = jnp.dtype(cfg.pre_dtype) if cfg.pre_dtype else None
+    if pd is not None and pd != b.dtype:
+        # low-precision pre-smooth: x1's rounding is fully absorbed by the
+        # full-precision residual below (see MGConfig.pre_dtype)
+        x = _smooth(None, b.astype(pd), lvl, cfg, cfg.pre_smooth,
+                    reverse=False).astype(b.dtype)
+    else:
+        x = _smooth(None, b, lvl, cfg, cfg.pre_smooth, reverse=False)
     tr = cfg.transfers
     if tr == "auto":
         tr = "matmul" if jax.devices()[0].platform == "tpu" else "roll"
@@ -499,13 +543,13 @@ def v_cycle(levels: Sequence[_Level], coarse_pinv: Array, cfg: MGConfig,
         rc = _pin(restrict_mm(
             residual_xrestrict_pallas(x, b, lvl.deltas), axes=(1, 2)),
             levels[idx + 1])
-        ec = v_cycle(levels, coarse_pinv, cfg, rc, idx + 1)
+        ec = _coarse_correct(levels, coarse_pinv, cfg, rc, idx + 1)
         x = xprolong_add_pallas(x, prolong_mm(ec, axes=(1, 2)))
         return _smooth(x, b, lvl, cfg, cfg.post_smooth, reverse=True)
     r = _residual(x, b, lvl, cfg)
     down, up = (restrict_mm, prolong_mm) if tr == "matmul" else (restrict, prolong)
     rc = _pin(down(r), levels[idx + 1])
-    ec = v_cycle(levels, coarse_pinv, cfg, rc, idx + 1)
+    ec = _coarse_correct(levels, coarse_pinv, cfg, rc, idx + 1)
     x = x + _pin(up(ec), lvl)
     return _smooth(x, b, lvl, cfg, cfg.post_smooth, reverse=True)
 

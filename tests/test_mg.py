@@ -155,6 +155,80 @@ class TestVCycle:
         assert e2 < 0.05 * e0  # >= 10x error reduction per cycle
 
 
+class TestWCycle:
+    """cycle="w": sub-fine levels revisited twice (S = 2C - C A C per
+    child level) — must stay symmetric, converge at least as fast as V,
+    and be reachable from the options DB (-mg_cycle w)."""
+
+    def test_symmetry(self):
+        grid = Grid3D((16, 16, 16))
+        M = make_mg_preconditioner(
+            grid.n, grid.deltas,
+            MGConfig(cycle="w", pre_smooth=2, post_smooth=2))
+        k1, k2 = jax.random.split(jax.random.PRNGKey(15))
+        r1 = jax.random.normal(k1, grid.n, jnp.float64)
+        r2 = jax.random.normal(k2, grid.n, jnp.float64)
+        lhs = float(jnp.sum(M(r1) * r2))
+        rhs = float(jnp.sum(r1 * M(r2)))
+        assert abs(lhs - rhs) < 1e-9 * max(1.0, abs(lhs))
+
+    def test_converges_no_slower_than_v(self):
+        grid = Grid3D((32, 32, 32))
+        A = make_laplacian_operator(grid)
+        u = A.project(jax.random.normal(jax.random.PRNGKey(16), grid.n,
+                                        jnp.float64))
+        b = A(u)
+        kw = dict(pre_smooth=2, post_smooth=2)
+        Mv = make_mg_preconditioner(grid.n, grid.deltas, MGConfig(**kw))
+        Mw = make_mg_preconditioner(grid.n, grid.deltas,
+                                    MGConfig(cycle="w", **kw))
+        rv = cg(A, b, M=Mv, rtol=1e-8, max_it=30)
+        rw = cg(A, b, M=Mw, rtol=1e-8, max_it=30)
+        assert bool(rw.converged)
+        assert int(rw.iterations) <= int(rv.iterations)
+
+    def test_options_dispatch(self):
+        from poissbox_tpu.config import Options
+        from poissbox_tpu.solvers.ksp import solve
+        grid = Grid3D((16, 16, 16))
+        A = make_laplacian_operator(grid)
+        u = A.project(jax.random.normal(jax.random.PRNGKey(17), grid.n,
+                                        jnp.float64))
+        b = A(u)
+        res = solve(A, b, Options(["-pc_type", "mg", "-mg_cycle", "w",
+                                   "-ksp_rtol", "1e-9"]),
+                    shape=grid.n, deltas=grid.deltas)
+        assert bool(res.converged)
+        r = float(jnp.linalg.norm((A(res.x) - b).ravel()))
+        assert r < 1e-8 * float(jnp.linalg.norm(b.ravel()))
+
+    def test_pre_dtype_low_precision_presmooth(self):
+        # bf16 pre-smoothing must not change the cycle's fixed point: the
+        # f64 residual absorbs the quantized iterate, so MG-CG converges
+        # to the same tolerance in (at most one more) iteration
+        grid = Grid3D((32, 32, 32))
+        A = make_laplacian_operator(grid)
+        u = A.project(jax.random.normal(jax.random.PRNGKey(18), grid.n,
+                                        jnp.float64))
+        b = A(u)
+        Mr = make_mg_preconditioner(grid.n, grid.deltas, MGConfig())
+        Mb = make_mg_preconditioner(grid.n, grid.deltas,
+                                    MGConfig(pre_dtype="bfloat16"))
+        rr = cg(A, b, M=Mr, rtol=1e-10, max_it=30)
+        rb = cg(A, b, M=Mb, rtol=1e-10, max_it=30)
+        assert bool(rb.converged)
+        assert int(rb.iterations) <= int(rr.iterations) + 1
+        res = float(jnp.linalg.norm((A(rb.x) - b).ravel()))
+        assert res < 1e-9 * float(jnp.linalg.norm(b.ravel()))
+
+    def test_unknown_cycle_rejected(self):
+        grid = Grid3D((8, 8, 8))
+        M = make_mg_preconditioner(grid.n, grid.deltas,
+                                   MGConfig(cycle="f"))
+        with pytest.raises(ValueError, match="cycle"):
+            M(jnp.zeros(grid.n, jnp.float64))
+
+
 class TestPallasSmoothers:
     @pytest.mark.parametrize("smoother", ["sor", "jacobi"])
     def test_pallas_vcycle_matches_roll(self, smoother):
