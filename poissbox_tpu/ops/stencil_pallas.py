@@ -26,6 +26,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -217,6 +218,31 @@ def _pick_tiles(u: jax.Array) -> tuple[int, int]:
     return max(tx, 1), max(ty, slab if ny % slab == 0 else 1)
 
 
+def _scoped_vmem(in_specs, out_specs, itemsize: int,
+                 factor: float = 6.0, est_factor: float = 2.25) -> dict:
+    """Tightest-sufficient `compiler_params` for a kernel's VMEM stack.
+
+    The scoped-vmem limit is a reservation carved out of the same physical
+    VMEM the automatic pipeline uses for its prefetch buffers, so an
+    oversized limit starves the pipeline: a blanket 100 MB measurably
+    halved the plain stencil kernel (0.20 -> 0.45 ms per 256^3 apply).
+    Policy: stay at the 16 MB default whenever an `est_factor`x stack
+    estimate of the single-step block bytes fits (measured stack/block
+    ratios: 1.46x for the fused residual+restrict at 256^3, 2.0-3.6x for
+    the zero-guess RB, which keeps halo-extended temporaries live);
+    otherwise reserve a deliberately roomy `factor` (capped at 100 MB),
+    because Mosaic's scheduler *inflates* its stack toward whatever limit
+    it is given (observed 36.0M at a 28.8M limit, 63.6M at 40.5M, 40.5M
+    at 36M across these kernels), so near-fit limits always fail."""
+    specs = list(in_specs) + list(out_specs)
+    bb = sum(int(np.prod(s.block_shape)) for s in specs
+             if s.block_shape is not None) * itemsize
+    if int(est_factor * bb) <= 16 * 2**20:  # stack estimate fits the default
+        return {}
+    need = min(int(factor * bb), 100 * 2**20)
+    return {"compiler_params": pltpu.CompilerParams(vmem_limit_bytes=need)}
+
+
 def _launch(update, u: jax.Array, tiles, invs, extra=(), **kw):
     """Launch a stencil kernel over (x-slab, y-panel) blocks; full-y tiles
     use the cheaper 3-input scheme with in-VMEM y rolls."""
@@ -247,19 +273,17 @@ def _launch(update, u: jax.Array, tiles, invs, extra=(), **kw):
         in_specs = [xplane(-1), ym_spec, blk(), yp_spec, xplane(tx)]
         args = (u, u, u, u, u)
     n_in = len(in_specs) + len(extra)
+    all_in = in_specs + [blk()] * len(extra)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
         grid=(nx // tx, ny // ty),
-        in_specs=in_specs + [blk()] * len(extra),
+        in_specs=all_in,
         out_specs=blk(),
         cost_estimate=pl.CostEstimate(
             flops=9 * u.size, bytes_accessed=n_in * u.size * u.dtype.itemsize,
             transcendentals=0),
-        # the default 16 MB scoped-vmem limit sits within 64 KB of the
-        # residual kernel's stack at 256^3 full-y tiles (environment flags
-        # tip it over); raise it like the fused kernels below do
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        **_scoped_vmem(all_in, [blk()], u.dtype.itemsize),
         interpret=jax.default_backend() != "tpu",
     )(*args, *extra)
 
@@ -400,7 +424,7 @@ def cg_fused_update(alpha, x, p, r, ap):
                   blk, blk, blk, blk],
         out_specs=(blk, blk, part, part),
         input_output_aliases={1: 0, 3: 1},
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        **_scoped_vmem([blk] * 4, [blk, blk, part, part], x.dtype.itemsize),
         cost_estimate=pl.CostEstimate(
             flops=6 * x.size,
             bytes_accessed=6 * x.size * x.dtype.itemsize,
@@ -479,22 +503,28 @@ def _sor_rb_zero(b, deltas, weight, reverse, tile_x):
     kernel = functools.partial(_sor_rb_zero_kernel, invs=invs,
                                winv_diag=winv, colors=colors, tile_x=tile_x)
     vm = pltpu.VMEM
+    in_specs = [
+        pl.BlockSpec((1, ny, nz), lambda i: ((i * tile_x - 1) % nx, 0, 0),
+                     memory_space=vm),
+        pl.BlockSpec((tile_x, ny, nz), lambda i: (i, 0, 0),
+                     memory_space=vm),
+        pl.BlockSpec((1, ny, nz),
+                     lambda i: ((i * tile_x + tile_x) % nx, 0, 0),
+                     memory_space=vm),
+    ]
+    out_spec = pl.BlockSpec((tile_x, ny, nz), lambda i: (i, 0, 0),
+                            memory_space=vm)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(shape, dtype),
         grid=(nx // tile_x,),
-        in_specs=[
-            pl.BlockSpec((1, ny, nz), lambda i: ((i * tile_x - 1) % nx, 0, 0),
-                         memory_space=vm),
-            pl.BlockSpec((tile_x, ny, nz), lambda i: (i, 0, 0),
-                         memory_space=vm),
-            pl.BlockSpec((1, ny, nz),
-                         lambda i: ((i * tile_x + tile_x) % nx, 0, 0),
-                         memory_space=vm),
-        ],
-        out_specs=pl.BlockSpec((tile_x, ny, nz), lambda i: (i, 0, 0),
-                               memory_space=vm),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        # measured 3.6x stack ratio (16.08M over 4.5M of blocks at 256^3)
+        # and boundary flakiness at near-fit limits: always give this
+        # kernel the roomy reservation
+        **_scoped_vmem(in_specs, [out_spec], jnp.dtype(dtype).itemsize,
+                       factor=22.0, est_factor=4.0),
         cost_estimate=pl.CostEstimate(
             flops=12 * nx * ny * nz,
             bytes_accessed=2 * nx * ny * nz * jnp.dtype(dtype).itemsize,
@@ -607,7 +637,7 @@ def _resid_xrestrict(u, b, deltas, tc):
         functools.partial(_resid_xrestrict_kernel, invs=invs),
         out_shape=jax.ShapeDtypeStruct((nxc, ny, nz), u.dtype),
         grid=(nxc // tc,),
-        in_specs=[
+        in_specs=(rx_in := [
             # u: 2*tc fine planes + 2-plane halos (2-plane block units)
             pl.BlockSpec((2, ny, nz), lambda i: ((i * tc - 1) % nxc, 0, 0),
                          memory_space=vm),
@@ -623,10 +653,10 @@ def _resid_xrestrict(u, b, deltas, tc):
             pl.BlockSpec((1, ny, nz),
                          lambda i: ((2 * (i + 1) * tc) % nx, 0, 0),
                          memory_space=vm),
-        ],
-        out_specs=pl.BlockSpec((tc, ny, nz), lambda i: (i, 0, 0),
-                               memory_space=vm),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        ]),
+        out_specs=(rx_out := pl.BlockSpec((tc, ny, nz), lambda i: (i, 0, 0),
+                                          memory_space=vm)),
+        **_scoped_vmem(rx_in, [rx_out], u.dtype.itemsize),
         cost_estimate=pl.CostEstimate(
             flops=12 * u.size,
             bytes_accessed=(2 * u.size + u.size // 2) * u.dtype.itemsize,
@@ -670,7 +700,7 @@ def _xprolong_add(u, e, tc):
         _xprolong_add_kernel,
         out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
         grid=(nxc // tc,),
-        in_specs=[
+        in_specs=(px_in := [
             pl.BlockSpec((1, ny, nz), lambda i: ((i * tc - 1) % nxc, 0, 0),
                          memory_space=vm),
             pl.BlockSpec((tc, ny, nz), lambda i: (i, 0, 0),
@@ -679,11 +709,12 @@ def _xprolong_add(u, e, tc):
                          memory_space=vm),
             pl.BlockSpec((2 * tc, ny, nz), lambda i: (i, 0, 0),
                          memory_space=vm),
-        ],
-        out_specs=pl.BlockSpec((2 * tc, ny, nz), lambda i: (i, 0, 0),
-                               memory_space=vm),
+        ]),
+        out_specs=(px_out := pl.BlockSpec((2 * tc, ny, nz),
+                                          lambda i: (i, 0, 0),
+                                          memory_space=vm)),
         input_output_aliases={3: 0},
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        **_scoped_vmem(px_in, [px_out], u.dtype.itemsize),
         cost_estimate=pl.CostEstimate(
             flops=5 * u.size,
             bytes_accessed=(2 * u.size + u.size // 2) * u.dtype.itemsize,
