@@ -113,27 +113,14 @@ def bench_mgcg(n: int, dtype, rtol: float) -> dict:
     A = make_laplacian_operator(grid)
     M = make_mg_preconditioner(grid.n, grid.deltas, MGConfig(), dtype=dtype)
 
+    from poissbox_tpu.utils.profiling import solve_time
+
     solve = jax.jit(lambda b: cg(A, b, M=M, rtol=rtol, max_it=50))
     key = jax.random.PRNGKey(1)
     u = jax.random.uniform(key, grid.n, dtype, -1.0, 1.0)
     b = A(u - jnp.mean(u))
 
-    def run_once() -> float:
-        t0 = time.perf_counter()
-        res = solve(b)
-        float(res.residual_norm)  # readback forces execution
-        return time.perf_counter() - t0
-
-    run_once()  # compile + warm
-    # subtract the host<->device roundtrip measured on a trivial kernel
-    trivial = jax.jit(jnp.sum)
-    float(trivial(b))  # compile
-    rt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(trivial(b))
-        rt = min(rt, time.perf_counter() - t0)
-    dt = max(min(run_once() for _ in range(3)) - rt, 1e-9)
+    dt = solve_time(solve, b)
     res = solve(b)
     rel = float(res.residual_norm / res.history[0])
     return {"mgcg_solve_s": dt, "mgcg_iters": int(res.iterations),

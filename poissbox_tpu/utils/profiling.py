@@ -57,6 +57,49 @@ def kernel_time(fn: Callable, example, lo: int = 10, hi: int = 40,
     return max((t_hi - t_lo) / (hi - lo), 1e-12)
 
 
+def solve_time(solve_fn: Callable, b, lo: int = 1, hi: int = 3,
+               reps: int = 3) -> float:
+    """Seconds per full solve via differenced device-side loops.
+
+    Host-timing a single solve on a tunneled chip is hopeless: the
+    host<->device roundtrip (tens of ms, load-dependent) rivals the solve
+    itself and subtracting a separately-measured roundtrip leaves +-50%
+    scatter. Instead the solve is repeated inside a `fori_loop` and
+    t(hi)-t(lo) cancels the constant overhead exactly. The RHS is
+    perturbed by the loop-carried residual norm scaled by 1e-30 — far
+    below f32 resolution, so every trip solves the identical system, but
+    data-dependent, so XLA cannot hoist the loop-invariant solve.
+    `solve_fn(b)` must return an object with a `.residual_norm` scalar."""
+    eps = jnp.asarray(1e-30, b.dtype)
+
+    def timed(iters: int) -> float:
+        # b must be an ARGUMENT of the jitted loop: a closed-over array is
+        # inlined into the HLO as a constant (a 512^3 RHS is a 512 MB
+        # literal, which the remote-compile path rejects outright)
+        def loop(rhs, acc0):
+            def body(_, acc):
+                res = solve_fn(rhs * (1 + eps * acc))
+                return res.residual_norm.astype(rhs.dtype)
+            return jax.lax.fori_loop(0, iters, body, acc0)
+
+        f = jax.jit(loop)
+        zero = jnp.asarray(0.0, b.dtype)
+        float(f(b, zero))  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(f(b, zero))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo = timed(lo)
+    t_hi = timed(hi)
+    while hi < 256 and (t_hi - t_lo) <= max(0.5 * t_lo, 0.020):
+        hi *= 4
+        t_hi = timed(hi)
+    return max((t_hi - t_lo) / (hi - lo), 1e-12)
+
+
 def bandwidth_gbps(fn: Callable, example, passes: int = 2, **kw) -> float:
     """Effective HBM bandwidth assuming `passes` full-array passes per
     application (2 = read + write for a perfectly fused kernel)."""
