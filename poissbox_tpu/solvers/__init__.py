@@ -5,6 +5,8 @@ from the options database (reference src/poissbox.f90:269-298,
 README.md:42-49). Here the same capability surface is pure JAX:
 
   - solvers.cg ......... conjugate gradients (the recommended `-ksp_type cg`)
+  - solvers.pipecg ..... pipelined CG, one overlapped reduction/iteration
+                         (PETSc KSPPIPECG — for latency-bound meshes)
   - solvers.gmres ...... restarted GMRES (PETSc's default KSP type)
   - solvers.richardson . damped Richardson iteration (MG level solver)
   - solvers.mg ......... geometric-multigrid V-cycle preconditioner
@@ -27,6 +29,7 @@ analog, reference README.md:48-49).
 
 from poissbox_tpu.solvers.result import SolveResult, ConvergedReason
 from poissbox_tpu.solvers.cg import cg
+from poissbox_tpu.solvers.pipecg import pipecg
 from poissbox_tpu.solvers.gmres import gmres
 from poissbox_tpu.solvers.richardson import richardson
 from poissbox_tpu.solvers.mg import MGConfig, make_mg_preconditioner, v_cycle
@@ -38,6 +41,7 @@ __all__ = [
     "SolveResult",
     "ConvergedReason",
     "cg",
+    "pipecg",
     "gmres",
     "richardson",
     "MGConfig",

@@ -131,6 +131,11 @@ def make_solver(
         return lambda b, x0=None: cg(A, b, x0, norm_type=opts.ksp_norm_type,
                                      flexible=opts.ksp_type == "fcg",
                                      **common)
+    if opts.ksp_type == "pipecg":
+        # single overlapped reduction per iteration (PETSc KSPPIPECG);
+        # for meshes where psum latency dominates — see solvers/pipecg.py
+        from poissbox_tpu.solvers.pipecg import pipecg
+        return lambda b, x0=None: pipecg(A, b, x0, **common)
     if opts.ksp_type == "gmres":
         return lambda b, x0=None: gmres(A, b, x0, restart=opts.gmres_restart,
                                         **common)
@@ -143,7 +148,7 @@ def make_solver(
         return lambda b, x0=None: fft_solver_result(A, b, deltas, grid=grid)
     raise ValueError(
         f"unknown ksp_type {opts.ksp_type!r} "
-        "(expected cg|fcg|gmres|richardson|fft)")
+        "(expected cg|fcg|pipecg|gmres|richardson|fft)")
 
 
 def solve(
