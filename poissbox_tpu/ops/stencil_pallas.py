@@ -66,6 +66,12 @@ def _star_ext(xe, invs):
     block spans the full y, z axes)."""
     ivx, ivy, ivz = invs
     c = xe[1:-1]
+    if ivx == ivy == ivz:
+        # cubic cells (the common case): scale the 6-neighbor sum once —
+        # two fewer field-wide multiplies matters because the RB smoother
+        # kernels are VPU-bound, not bandwidth-bound, at 512^3
+        s = (xe[:-2] + xe[2:]) + _pm1_sum(c, 1) + _pm1_sum(c, 2)
+        return s * ivx - (6.0 * ivx) * c
     s = (xe[:-2] + xe[2:]) * ivx
     s = s + _pm1_sum(c, 1) * ivy
     s = s + _pm1_sum(c, 2) * ivz
