@@ -50,11 +50,15 @@ class MGConfig:
 
     levels: int = 0               # 0 = auto (coarsen while divisible, > coarse_size)
     smoother: str = "sor"         # "sor" (red-black) | "jacobi" | "chebyshev"
-    # 3+3 RB sweeps measured fastest end-to-end at 256^3 on v5e: the
-    # stronger cycle drops MG-CG from 5 outer iterations to 4 (18.9 ms vs
-    # 19.8 for 2+2; 1+1 needs 7 iterations)
-    pre_smooth: int = 3           # smoother sweeps before coarse correction
-    post_smooth: int = 3          # ... and after (reversed ordering)
+    # -1 = auto, resolved against the fine-grid size when the
+    # preconditioner is built (make_mg_preconditioner): 3+3 RB sweeps
+    # measured fastest end-to-end at 256^3 on v5e (MG-CG 4 outer
+    # iterations; 2+2 needs 5, 1+1 needs 7 — 18.9 ms vs 19.8), while at
+    # 512^3 the cheaper V(2,2) wins despite the extra iteration (222 ms
+    # vs 245: the fine-level sweeps dominate the cycle there, so trading
+    # one more Krylov pass for two fewer sweeps/cycle pays).
+    pre_smooth: int = -1          # smoother sweeps before coarse correction
+    post_smooth: int = -1         # ... and after (reversed ordering)
     damping: Optional[float] = None  # None = per-smoother default (sor 1.0, jacobi 8/9)
     coarse: str = "svd"           # "svd" | "direct" (both dense; svd truncates nullspace)
     coarse_size: int = 4          # stop coarsening at min(n) <= coarse_size
@@ -326,7 +330,11 @@ def _smooth(x: Optional[Array], b: Array, lvl: _Level, cfg: MGConfig,
     full stencil pass — and, distributed, one halo exchange — per level
     per cycle on every backend.
     """
-    if sweeps <= 0:
+    if sweeps < 0:
+        raise ValueError(
+            "pre/post_smooth=-1 (auto) is resolved by make_mg_preconditioner;"
+            " pass explicit sweep counts when calling v_cycle directly")
+    if sweeps == 0:
         # pre_smooth=0 / post_smooth=0 must be exact no-ops (zero guess
         # included), or the cycle loses its transpose pairing
         return jnp.zeros_like(b) if x is None else x
@@ -554,6 +562,19 @@ def v_cycle(levels: Sequence[_Level], coarse_pinv: Array, cfg: MGConfig,
     return _smooth(x, b, lvl, cfg, cfg.post_smooth, reverse=True)
 
 
+def _resolve_sweeps(cfg: MGConfig, shape: Sequence[int]) -> MGConfig:
+    """Resolve pre/post_smooth = -1 (auto) against the fine-grid size:
+    3 sweeps up to 256^3-class grids, 2 at 512^3-class — the measured
+    end-to-end optima (see MGConfig). Explicit values pass through."""
+    if cfg.pre_smooth >= 0 and cfg.post_smooth >= 0:
+        return cfg
+    auto = 2 if min(shape) >= 512 else 3
+    return dataclasses.replace(
+        cfg,
+        pre_smooth=cfg.pre_smooth if cfg.pre_smooth >= 0 else auto,
+        post_smooth=cfg.post_smooth if cfg.post_smooth >= 0 else auto)
+
+
 def make_mg_preconditioner(
     shape: Sequence[int],
     deltas: Sequence[float],
@@ -570,6 +591,7 @@ def make_mg_preconditioner(
     coarse levels replicated once they are too small to shard (the
     TPU-native analogue of GAMG's process-count reduction on coarse grids).
     """
+    cfg = _resolve_sweeps(cfg, shape)
     levels = _build_levels(tuple(shape), tuple(deltas), cfg, grid=grid)
     pinv = _coarse_pinv(levels[-1], cfg, dtype)
     cdt = jnp.dtype(cfg.dtype) if cfg.dtype else None

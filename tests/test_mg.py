@@ -418,3 +418,30 @@ class TestFusedTransferKernels:
         want = u + prolong_mm(e)
         got = xprolong_add_pallas(u, prolong_mm(e, axes=(1, 2)))
         assert float(jnp.max(jnp.abs(want - got))) < 1e-12
+
+
+class TestAutoSweeps:
+    """pre/post_smooth=-1 (the default) resolves against the fine-grid
+    size: 3+3 up to 256^3-class, 2+2 at 512^3-class (measured end-to-end
+    optima on v5e); explicit values pass through untouched."""
+
+    def test_resolution(self):
+        from poissbox_tpu.solvers.mg import MGConfig, _resolve_sweeps
+        small = _resolve_sweeps(MGConfig(), (64, 64, 64))
+        assert (small.pre_smooth, small.post_smooth) == (3, 3)
+        large = _resolve_sweeps(MGConfig(), (512, 512, 512))
+        assert (large.pre_smooth, large.post_smooth) == (2, 2)
+        explicit = _resolve_sweeps(MGConfig(pre_smooth=1, post_smooth=4),
+                                   (512, 512, 512))
+        assert (explicit.pre_smooth, explicit.post_smooth) == (1, 4)
+        mixed = _resolve_sweeps(MGConfig(pre_smooth=1), (64, 64, 64))
+        assert (mixed.pre_smooth, mixed.post_smooth) == (1, 3)
+
+    def test_direct_v_cycle_rejects_sentinel(self):
+        from poissbox_tpu.solvers.mg import MGConfig, v_cycle, _build_levels
+        grid = Grid3D((8, 8, 8))
+        cfg = MGConfig()
+        levels = _build_levels(grid.n, grid.deltas, cfg)
+        with pytest.raises(ValueError, match="auto"):
+            v_cycle(levels, jnp.zeros((64, 64)), cfg,
+                    jnp.zeros(grid.n, jnp.float64))
