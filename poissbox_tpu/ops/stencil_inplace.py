@@ -36,6 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from poissbox_tpu.ops.stencil_pallas import _star_ext as _star  # noqa: F401
+from poissbox_tpu.ops.stencil_pallas import _rb_halfstep
 
 
 def _parity_x(shape, x0):
@@ -251,19 +252,21 @@ def _sor_rb_multi_inplace(u, b, deltas, weight, reverse, nsweeps):
 
     def update(xe, be, x0):
         # xe: T+2H planes at abs x-offset x0-H; be: T+2Hb at x0-Hb.
-        # The (i+j+k) parity field is computed ONCE for the widest star
-        # region and sliced per half-step (absolute indexing keeps parity
-        # correct) — the per-step iota+mod evaluation was a measurable
-        # VPU cost at 512^3
+        # The per-color masked weights winv*(parity==color) are computed
+        # ONCE for the widest star region and sliced per half-step
+        # (absolute indexing keeps parity correct) — both the per-step
+        # iota+mod evaluation and the per-step compare+convert+scale were
+        # measurable VPU costs at 512^3 (the kernel is VPU-bound)
         x = xe
         m0 = xe.shape[0] - 2
         par = _parity_x((m0, ny, nz), x0 + (1 - H))
+        w0 = jnp.where(par == colors[0], x.dtype.type(winv),
+                       x.dtype.type(0.0))
+        ws = (w0, x.dtype.type(winv) - w0)
         for j in range(2 * nsweeps):
             m = x.shape[0]
-            r = be[j:j + m - 2] - _star(x, invs)
-            pj = par[j:m0 - j] if j else par
-            mk = (pj == colors[j % 2]).astype(x.dtype)
-            x = x[1:-1] + (winv * mk) * r
+            wj = ws[j % 2][j:m0 - j] if j else ws[0]
+            x = _rb_halfstep(x, be[j:j + m - 2], wj, invs)
         return x
 
     kernel = _make_kernel(nx, ny, nz, T, H, Hb, u.dtype, update, True)

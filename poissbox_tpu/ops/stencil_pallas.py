@@ -121,6 +121,21 @@ def _parity(shape, i0, j0):
     return (ii + jj + kk) % 2
 
 
+def _rb_halfstep(xe, be_c, w, invs):
+    """One masked SOR half-step on the interior planes of a halo-extended
+    slab: c + w * (be_c - star(xe)), where `w` is the per-color masked
+    weight field winv*(parity==color) — precomputed once per slab so the
+    per-step compare+convert+scale disappears. For isotropic cells the
+    star's scalar factors fold into the residual (one fewer field-wide
+    mul+sub); these RB kernels are VPU-bound, not bandwidth-bound."""
+    ivx, ivy, ivz = invs
+    c = xe[1:-1]
+    if ivx == ivy == ivz:
+        s = (xe[:-2] + xe[2:]) + _pm1_sum(c, 1) + _pm1_sum(c, 2)
+        return c + w * ((be_c - ivx * s) + (6.0 * ivx) * c)
+    return c + w * (be_c - _star_ext(xe, invs))
+
+
 def _make_kernel(update, full_y, **kw):
     """Build a pallas kernel: star evaluation (full-y 3-input or paneled
     5-input halo scheme) followed by `update(out_ref, cur_ref, extras)`."""
@@ -167,23 +182,21 @@ def _sor_rb_kernel(prev2_ref, cur_ref, next2_ref, bp_ref, b_ref, bn_ref,
     color kernels."""
     T = cur_ref.shape[0]
     ny, nz = cur_ref.shape[1], cur_ref.shape[2]
-    star = functools.partial(_star_ext, invs=invs)
     i0 = pl.program_id(0) * tile_x
     xe = jnp.concatenate([prev2_ref[:], cur_ref[:], next2_ref[:]], axis=0)
     be = jnp.concatenate([bp_ref[:], b_ref[:], bn_ref[:]], axis=0)
 
     # first color on the extended region: planes i0-1 .. i0+T (T+2 of
-    # them); the parity field is computed once and sliced for the second
-    # color (per-step iota+mod was a measurable VPU cost)
+    # them); the masked per-color weights are computed once and sliced for
+    # the second color (per-step iota+mod+compare+convert was a measurable
+    # VPU cost)
     par = _parity((T + 2, ny, nz), i0 - 1, 0)
-    r1 = be - star(xe)
-    m1 = (par == colors[0]).astype(xe.dtype)
-    x1 = xe[1:-1] + (winv_diag * m1) * r1
+    dt = xe.dtype.type
+    w1 = jnp.where(par == colors[0], dt(winv_diag), dt(0.0))
+    x1 = _rb_halfstep(xe, be, w1, invs)
 
     # second color on the interior T planes
-    r2 = b_ref[:] - star(x1)
-    m2 = (par[1:-1] == colors[1]).astype(xe.dtype)
-    out_ref[:] = x1[1:-1] + (winv_diag * m2) * r2
+    out_ref[:] = _rb_halfstep(x1, b_ref[:], (dt(winv_diag) - w1)[1:-1], invs)
 
 
 # ---------------------------------------------------------------------------
@@ -486,16 +499,13 @@ def _sor_rb_zero_kernel(bp_ref, b_ref, bn_ref, out_ref, *, invs, winv_diag,
     T = b_ref.shape[0]
     ny, nz = b_ref.shape[1], b_ref.shape[2]
 
-    star = functools.partial(_star_ext, invs=invs)
-
     i0 = pl.program_id(0) * tile_x
     be = jnp.concatenate([bp_ref[:], b_ref[:], bn_ref[:]], axis=0)  # T+2
     par = _parity((T + 2, ny, nz), i0 - 1, 0)
-    m1 = (par == colors[0]).astype(be.dtype)
-    x1 = (winv_diag * m1) * be
-    r2 = b_ref[:] - star(x1)
-    m2 = (par[1:-1] == colors[1]).astype(be.dtype)
-    out_ref[:] = x1[1:-1] + (winv_diag * m2) * r2
+    dt = be.dtype.type
+    w1 = jnp.where(par == colors[0], dt(winv_diag), dt(0.0))
+    x1 = w1 * be
+    out_ref[:] = _rb_halfstep(x1, b_ref[:], (dt(winv_diag) - w1)[1:-1], invs)
 
 
 @functools.partial(jax.jit, static_argnames=("deltas", "tile_x", "weight",
