@@ -129,10 +129,13 @@ def bench_mgcg(n: int, dtype, rtol: float) -> dict:
 
 def bench_tridiag(n: int, dtype) -> dict:
     """Batched periodic tridiagonal solve (the compact-scheme inner kernel)
-    vs the 2-full-pass bandwidth bound. The production solver is the
-    in-place circulant-PCR kernel; chained same-buffer solves have perfect
-    HBM row locality, so the fraction can exceed 1.0 of the nominal
-    spec-sheet bandwidth (same caveat as the steady-state stencil number)."""
+    vs the in-place kernel's actual byte traffic: one read + one write of
+    the field (the circulant-PCR kernel solves in place, 2 passes total).
+    Measured COLD like the stencil: ping-ponging two independent buffers so
+    the block read at solve k was written at solve k-2 and cannot ride VMEM
+    residency — a round-2 same-buffer chain reported a "fraction of the
+    bound" of 1.13, which carries no information. `tridiag_bw_frac` is now
+    conservative by construction (<= 1 up to measurement noise)."""
     import jax.numpy as jnp
 
     from poissbox_tpu.ops.tridiag import TridiagFactor
@@ -148,9 +151,34 @@ def bench_tridiag(n: int, dtype) -> dict:
         fac = PallasTridiagFactor(a, b, c, periodic=True)
     else:
         fac = TridiagFactor(a, b, c, periodic=True, method="pscan")
-    t = kernel_time(lambda v: fac.solve(v, axis=0), u, lo=10, hi=40)
-    eff = 2 * u.size * u.dtype.itemsize / t / 1e9
-    return {"tridiag_ms": t * 1e3, "tridiag_eff_gbps": eff,
+    fn = lambda v: fac.solve(v, axis=0)
+    t_warm = kernel_time(fn, u, lo=10, hi=40)
+
+    def cold_loop(iters: int) -> float:
+        def body(_, vw):
+            v, w = vw
+            return (w, fn(v))
+        f = jax.jit(lambda v, w: jnp.sum(
+            jax.lax.fori_loop(0, iters, body, (v, w))[1]))
+        w0 = fn(u)
+        float(f(u, w0))  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(f(u, w0))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    lo, hi = 10, 40
+    t_lo, t_hi = cold_loop(lo), cold_loop(hi)
+    while hi < 20000 and (t_hi - t_lo) <= max(0.5 * t_lo, 0.020):
+        hi *= 4
+        t_hi = cold_loop(hi)
+    t = max((t_hi - t_lo) / (hi - lo), 1e-9)
+    bytes_moved = 2 * u.size * u.dtype.itemsize  # in-place: 1 read + 1 write
+    eff = bytes_moved / t / 1e9
+    return {"tridiag_ms": t * 1e3, "tridiag_warm_ms": t_warm * 1e3,
+            "tridiag_eff_gbps": eff,
             "tridiag_bw_frac": eff / _hbm_gbps()}
 
 

@@ -34,6 +34,11 @@ class Options:
 
     def __init__(self, source: Mapping[str, Any] | Sequence[str] | None = None):
         self._db: dict[str, Any] = {}
+        # consumption tracking for the `-options_left` analogue: PETSc
+        # reports options that were set but never queried by any object
+        # (reference src/poissbox.f90:295 wires every object through the
+        # same DB; a misspelled flag is a silent no-op without this)
+        self._used: set[str] = set()
         if source is None:
             return
         if isinstance(source, Mapping):
@@ -69,7 +74,10 @@ class Options:
         self._db[key.lstrip("-")] = value
 
     def get(self, key: str, default: Any = None) -> Any:
-        return self._db.get(key.lstrip("-"), default)
+        k = key.lstrip("-")
+        if k in self._db:
+            self._used.add(k)
+        return self._db.get(k, default)
 
     def get_str(self, key: str, default: str = "") -> str:
         return str(self.get(key, default))
@@ -90,6 +98,36 @@ class Options:
 
     def as_dict(self) -> dict[str, Any]:
         return dict(self._db)
+
+    # -- `-options_left` analogue ---------------------------------------------
+    def used_keys(self) -> set[str]:
+        return set(self._used)
+
+    def unused_keys(self) -> list[str]:
+        """Options set but never queried — typos, misspellings, and flags no
+        object consumed (PETSc `-options_left` semantics)."""
+        return sorted(k for k in self._db if k not in self._used
+                      and k not in ("options_left", "options_error_if_unused"))
+
+    def check_unused(self, error: bool | None = None) -> list[str]:
+        """Warn (or raise) listing options nothing consumed.
+
+        `error=None` reads `-options_error_if_unused` from the DB itself;
+        call after solver assembly, as the reference's PetscFinalize does
+        with `-options_left` (PETSc options-DB semantics, reference
+        src/poissbox.f90:295).
+        """
+        left = self.unused_keys()
+        if error is None:
+            error = self.get_bool("options_error_if_unused")
+        if left:
+            msg = ("option(s) set but never used: "
+                   + " ".join(f"-{k}" for k in left))
+            if error:
+                raise ValueError(msg)
+            import warnings
+            warnings.warn(msg, stacklevel=2)
+        return left
 
     def __repr__(self) -> str:
         return f"Options({self._db!r})"
@@ -116,11 +154,15 @@ class SolverOptions:
     mg_levels: int = 0             # 0 = auto (coarsen to the smallest grid)
     mg_levels_ksp_type: str = "richardson"
     mg_levels_pc_type: str = "sor"  # sor (red-black) | jacobi
-    # cap on level-solve sweeps (PETSc stops at rtol OR max_it, whichever
-    # binds first); 3 is the measured end-to-end optimum on v5e at 256^3
-    # (matches MGConfig.pre/post_smooth)
-    mg_levels_ksp_max_it: int = 3
-    mg_levels_ksp_rtol: float = 1.0e-4
+    # Level-solve stopping controls (PETSc stops at rtol OR max_it,
+    # whichever binds first; reference README.md:43-44 sets rtol 1e-4).
+    # Negative = UNSET: when neither is given, the sweep count is resolved
+    # size-aware by solvers.mg._resolve_sweeps (V(3,3) up to 256^3-class
+    # grids, V(2,2) at 512^3 — the measured end-to-end optima), so the
+    # options entry point and MGConfig() defaults build the same cycle.
+    # Explicit flags take the calibrated sweeps_for_level_rtol path.
+    mg_levels_ksp_max_it: int = -1
+    mg_levels_ksp_rtol: float = -1.0
     mg_levels_damping: float = 1.0  # richardson damping / jacobi weight
     mg_coarse_pc_type: str = "svd"  # svd | direct
     mg_transfers: str = "auto"      # auto | roll | matmul (MXU contraction)

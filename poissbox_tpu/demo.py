@@ -126,6 +126,15 @@ def run(opts: Options) -> float:
     print(f"converged reason: {res.reason_enum().message}")
     print(f"verification: ||Ax - b||_2 = {true_res:.6e} "
           f"(relative {true_res / b_norm:.3e}), ||x - x_exact||_2 = {err:.3e}")
+
+    # `-options_left` analogue (PETSc options-DB semantics): every flag the
+    # run consumed was marked; anything left is a typo or a no-op — report
+    # it, or raise under `-options_error_if_unused`
+    if opts.get_bool("options_error_if_unused"):
+        opts.check_unused(error=True)
+    else:
+        for k in opts.unused_keys():
+            print(f"WARNING: option -{k} was set but never used")
     return true_res / b_norm
 
 

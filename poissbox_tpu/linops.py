@@ -67,6 +67,12 @@ class LinearOperator:
     # optional exact direct solve x = A^+ b (shift-invariant periodic
     # operators are FFT-diagonalizable); consumed by ksp_type="fft"
     direct_solve: Optional[Callable[[Array], Array]] = None
+    # optional fused CG iterate update (alpha, x, p, r, Ap) ->
+    # (x + alpha p, r - alpha Ap, ||r'||^2, sum(r')): one memory pass over
+    # the five fields with the next iteration's reductions computed
+    # in-kernel. Single-device operators bind the Pallas kernel directly;
+    # distributed operators bind its shard_map form with psum'd partials.
+    fused_update: Optional[Callable] = None
 
     def __call__(self, x: Array) -> Array:
         return self.apply(x)

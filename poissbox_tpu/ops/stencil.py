@@ -99,6 +99,7 @@ def make_laplacian_operator(grid, impl: str = "auto"):
         impl = default_impl(grid.n, grid.mesh)
     apply_dot = None
     local_pallas = False
+    fused_update = None
     if impl == "roll":
         apply = lambda u: apply_laplacian(u, deltas)
     elif impl == "pointwise":
@@ -107,9 +108,11 @@ def make_laplacian_operator(grid, impl: str = "auto"):
         from poissbox_tpu.ops.stencil_pallas import (
             apply_laplacian_dot_pallas,
             apply_laplacian_pallas,
+            cg_fused_update,
         )
         apply = lambda u: apply_laplacian_pallas(u, deltas)
         apply_dot = lambda u: apply_laplacian_dot_pallas(u, deltas)
+        fused_update = cg_fused_update
         local_pallas = True
     elif impl == "dist":
         if grid.mesh is None:
@@ -117,9 +120,12 @@ def make_laplacian_operator(grid, impl: str = "auto"):
         from poissbox_tpu.parallel.dist_stencil import (
             apply_laplacian_dot_sharded,
             apply_laplacian_sharded,
+            cg_fused_update_sharded,
         )
         apply = lambda u: apply_laplacian_sharded(u, grid)
         apply_dot = lambda u: apply_laplacian_dot_sharded(u, grid)
+        fused_update = lambda a, x, p, r, ap: cg_fused_update_sharded(
+            a, x, p, r, ap, grid)
     else:
         raise ValueError(f"unknown stencil impl {impl!r}")
 
@@ -136,6 +142,7 @@ def make_laplacian_operator(grid, impl: str = "auto"):
         symmetric=True,
         apply_dot=apply_dot,
         local_pallas=local_pallas,
+        fused_update=fused_update,
         direct_solve=None if grid.mesh is not None and grid.mesh.size > 1
         else direct_solve,
     )

@@ -203,12 +203,17 @@ def _sor_rb_kernel(prev2_ref, cur_ref, next2_ref, bp_ref, b_ref, bn_ref,
 # launchers
 # ---------------------------------------------------------------------------
 
-def _pick_tiles(u: jax.Array) -> tuple[int, int]:
+def _pick_tiles(u: jax.Array, prefer4: bool = True) -> tuple[int, int]:
     """(TX, TY) for the stencil/smoother kernels.
 
     Prefer the full-y (3-input, y-rolls) scheme — cheapest halo traffic —
     while the halo-extended block (TX+2)*ny*nz fits its budget (anchors,
     f32: 256^3 (8, full) fits; (16, full) OOMs; 512^3 (2, full) OOMs).
+    For the read-dominated kernels (plain apply, matvec+dot) TX=4 beats
+    TX=8 despite the higher nominal read amplification (measured 256^3:
+    89.5 vs 84.2 GDoF/s apply, 0.184 vs 0.207 ms matvec+dot — the smaller
+    block double-buffers better against the 2.8 MB budget); the 3-stream
+    jacobi sweep measured 7% the other way, so it passes prefer4=False.
     Otherwise tile y into panels with 8-row halo slabs under a tighter
     budget (anchor: 512^3 (8, 64) fits)."""
     nx, ny, nz = u.shape
@@ -218,10 +223,10 @@ def _pick_tiles(u: jax.Array) -> tuple[int, int]:
         tx //= 2
     # full-y scheme
     full_budget = int(2.8 * 2**20)
+    if prefer4 and (4 + 2) * ny * row <= full_budget and nx % 4 == 0:
+        return 4, ny
     if (tx + 2) * ny * row <= full_budget:
         return tx, ny
-    if (4 + 2) * ny * row <= full_budget and nx % 4 == 0:
-        return 4, ny
     # paneled scheme; panel height floor = the sublane slab size
     slab = 16 if u.dtype.itemsize < 4 else 8
     ty = ny
@@ -767,7 +772,7 @@ def jacobi_sweep_pallas(u: jax.Array, b: jax.Array, deltas: Sequence[float],
     from poissbox_tpu.ops import stencil_inplace
     if stencil_inplace.available(u.shape, u.dtype):
         return stencil_inplace.jacobi_sweep_inplace(u, b, deltas, weight)
-    tiles = _pick_tiles(u)
+    tiles = _pick_tiles(u, prefer4=False)
     return _jacobi(u, b, tuple(float(d) for d in deltas), float(weight),
                    (min(tiles[0], tile_x), tiles[1]))
 
@@ -775,7 +780,7 @@ def jacobi_sweep_pallas(u: jax.Array, b: jax.Array, deltas: Sequence[float],
 def sor_sweep_pallas(u: jax.Array, b: jax.Array, deltas: Sequence[float],
                      weight: float, color: int, tile_x: int = 8) -> jax.Array:
     """Fused red-black SOR color update (color 0 = red, (i+j+k) even)."""
-    tiles = _pick_tiles(u)
+    tiles = _pick_tiles(u, prefer4=False)
     return _sor(u, b, tuple(float(d) for d in deltas), float(weight),
                 int(color), (min(tiles[0], tile_x), tiles[1]))
 

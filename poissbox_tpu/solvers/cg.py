@@ -23,6 +23,27 @@ from poissbox_tpu.solvers.result import SolveResult, classify
 Array = jax.Array
 
 
+def _monitor_print(k, rnorm) -> None:
+    """Host callback for live `-ksp_monitor` streaming (PETSc line format)."""
+    print(f"  {int(k)} KSP Residual norm {float(rnorm):.12e}", flush=True)
+
+
+def emit_monitor(k: Array, rnorm: Array) -> None:
+    """Stream one residual line from inside a jitted solver loop.
+
+    PETSc's `-ksp_monitor` prints *while* KSPSolve runs (reference
+    README.md:48-49); post-hoc `SolveResult.monitor_lines()` cannot give
+    that for a 10-minute 1024^3-class solve. `jax.debug.callback` with
+    ordered semantics keeps the lines in iteration order under jit and
+    inside `lax.while_loop`; ordered effects are single-device-only in
+    XLA, so multi-device solves stream unordered — each line carries its
+    iteration index, and in practice the loop-carried dependence keeps
+    them sequential anyway.
+    """
+    jax.debug.callback(_monitor_print, k, rnorm,
+                       ordered=jax.device_count() == 1)
+
+
 class _CGState(NamedTuple):
     x: Array
     r: Array
@@ -49,6 +70,7 @@ def cg(
     max_it: int = 500,
     norm_type: str = "unpreconditioned",
     flexible: bool = False,
+    monitor: bool = False,
 ) -> SolveResult:
     """Solve A x = b by (preconditioned) CG.
 
@@ -66,6 +88,8 @@ def cg(
         preconditioner) chosen because the demo/tests verify the *true*
         residual; 'natural' uses sqrt(<r, M r>) (PETSc KSP_NORM_NATURAL),
         which costs no extra reduction since CG already forms <r, z>.
+      monitor: stream a `-ksp_monitor` residual line per iteration from
+        inside the jitted loop (live, not post-hoc — see :func:`emit_monitor`).
       flexible: use the Polak-Ribiere beta <r_{k+1}-r_k, z_{k+1}> / <r_k, z_k>
         instead of Fletcher-Reeves (PETSc KSPFCG with mmax=1, Notay's
         flexible CG). Mathematically identical for a fixed SPD
@@ -99,9 +123,12 @@ def cg(
     z = A.project(precond(r))
     p = z
     rz = _dot(r, z)
-    # clamp like the loop body: <r, z> can round to a tiny negative for a
-    # warm start near the solution, and sqrt(neg) would poison bnorm
-    rnorm0 = (jnp.sqrt(jnp.maximum(rz, 0.0)) if natural
+    # |<r, z>|: CG on a sign-consistent negative-definite pair (this
+    # framework's Laplacian is negative definite, diag -2*sum(1/d^2)) is
+    # identical to CG on the flipped positive pair, where the natural norm
+    # is sqrt(-<r, z>); abs covers both orientations and keeps rounding
+    # negatives near convergence from poisoning bnorm with sqrt(neg)=nan
+    rnorm0 = (jnp.sqrt(jnp.abs(rz)) if natural
               else jnp.sqrt(_dot(r, r)))
     # Convergence is relative to ||b|| (KSPConvergedDefault-style; equals
     # the initial residual for a zero guess, correct for warm starts). In
@@ -112,6 +139,8 @@ def cg(
 
     hist = jnp.full((max_it + 1,), jnp.nan, dtype=b.dtype)
     hist = hist.at[0].set(rnorm0)
+    if monitor:
+        emit_monitor(jnp.int32(0), rnorm0)
 
     atol_ = jnp.asarray(atol, b.dtype)
     rtol_ = jnp.asarray(rtol, b.dtype)
@@ -135,9 +164,10 @@ def cg(
         A.nullspace, "is_constant_projector", False)
     explicit_proj = A.nullspace is not None and not project_z
     inv_n = 1.0 / b.size
-    # fused x/r update + in-pass ||r||^2, sum(r) partials (single-device
-    # Pallas operators only — the kernel cannot be auto-partitioned)
-    fuse_upd = bool(getattr(A, "local_pallas", False)) and b.ndim == 3
+    # fused x/r update + in-pass ||r||^2, sum(r) partials: operators bind
+    # their own form (single-device Pallas kernel, or its shard_map
+    # wrapper with psum'd partials on distributed operators)
+    fuse_upd = getattr(A, "fused_update", None) is not None and b.ndim == 3
 
     def body(s: _CGState) -> _CGState:
         if A.apply_dot is not None:
@@ -153,8 +183,7 @@ def cg(
         ok = (pAp != 0.0) & (s.rz != 0.0)
         alpha = jnp.where(ok, s.rz / jnp.where(ok, pAp, 1.0), 0.0)
         if fuse_upd:
-            from poissbox_tpu.ops.stencil_pallas import cg_fused_update
-            x, r, rr_k, sr_k = cg_fused_update(alpha, s.x, s.p, s.r, Ap)
+            x, r, rr_k, sr_k = A.fused_update(alpha, s.x, s.p, s.r, Ap)
         else:
             x = s.x + alpha * s.p
             r = s.r - alpha * Ap
@@ -188,11 +217,13 @@ def cg(
             numer = rz_new
         beta = jnp.where(ok, numer / jnp.where(ok, s.rz, 1.0), 0.0)
         p = (v - zshift) + beta * s.p
-        norm = (jnp.sqrt(jnp.maximum(rz_new, 0.0)) if natural
+        norm = (jnp.sqrt(jnp.abs(rz_new)) if natural
                 else jnp.sqrt(rr))
         resnorm = jnp.where(ok, norm, jnp.zeros_like(s.resnorm))
         k = s.k + 1
         hist = s.hist.at[k].set(resnorm)
+        if monitor:
+            emit_monitor(k, resnorm)
         return _CGState(x, r, p, rz_new, resnorm, k, hist)
 
     init = _CGState(x, r, p, rz, rnorm0, jnp.int32(0), hist)

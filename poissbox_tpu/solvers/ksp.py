@@ -63,10 +63,20 @@ def make_preconditioner(
         # `-mg_levels_ksp_rtol` semantics: the level solve stops at rtol or
         # max_it, whichever binds first — statically calibrated to a fixed
         # sweep count via the smoother's smoothing factor (see
-        # solvers.mg.sweeps_for_level_rtol)
+        # solvers.mg.sweeps_for_level_rtol). When NEITHER flag is given,
+        # pass the -1 auto sentinel through so solvers.mg._resolve_sweeps
+        # picks the size-aware optimum — the options entry point and
+        # MGConfig() then build the same cycle (one solver of record,
+        # reference README.md:42-47).
         from poissbox_tpu.solvers.mg import sweeps_for_level_rtol
-        sweeps = sweeps_for_level_rtol(smoother, opts.mg_levels_ksp_rtol,
-                                       opts.mg_levels_ksp_max_it)
+        rtol_set = opts.mg_levels_ksp_rtol > 0.0
+        max_set = opts.mg_levels_ksp_max_it >= 0
+        if rtol_set or max_set:
+            lv_rtol = opts.mg_levels_ksp_rtol if rtol_set else 1.0e-4
+            lv_max = opts.mg_levels_ksp_max_it if max_set else 3
+            sweeps = sweeps_for_level_rtol(smoother, lv_rtol, lv_max)
+        else:
+            sweeps = -1  # size-aware auto
         if (opts.mg_cycle_dtype == "bfloat16" and opts.ksp_rtol < 1e-5
                 and opts.ksp_type != "fcg"):
             # measured on v5e: a bf16 V-cycle's output noise floor stalls
@@ -130,12 +140,16 @@ def make_solver(
         # nonstationary preconditioners (bf16 V-cycles, inner Krylov)
         return lambda b, x0=None: cg(A, b, x0, norm_type=opts.ksp_norm_type,
                                      flexible=opts.ksp_type == "fcg",
+                                     monitor=opts.ksp_monitor,
                                      **common)
     if opts.ksp_type == "pipecg":
         # single overlapped reduction per iteration (PETSc KSPPIPECG);
         # for meshes where psum latency dominates — see solvers/pipecg.py
         from poissbox_tpu.solvers.pipecg import pipecg
-        return lambda b, x0=None: pipecg(A, b, x0, **common)
+        return lambda b, x0=None: pipecg(A, b, x0,
+                                         norm_type=opts.ksp_norm_type,
+                                         monitor=opts.ksp_monitor,
+                                         **common)
     if opts.ksp_type == "gmres":
         return lambda b, x0=None: gmres(A, b, x0, restart=opts.gmres_restart,
                                         **common)
@@ -169,7 +183,9 @@ def solve(
         opts = SolverOptions.from_options(opts)
     opts = opts or SolverOptions()
     result = make_solver(A, opts, shape, deltas, b.dtype, grid=grid)(b, x0)
-    if opts.ksp_monitor:
+    if opts.ksp_monitor and opts.ksp_type not in ("cg", "fcg", "pipecg"):
+        # cg/fcg/pipecg stream live from inside the jitted loop
+        # (solvers.cg.emit_monitor); post-hoc lines cover the rest
         for line in result.monitor_lines():
             print(line)
     if opts.ksp_converged_reason:

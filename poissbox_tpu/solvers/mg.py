@@ -603,4 +603,7 @@ def make_mg_preconditioner(
             x = x + v_cycle(levels, pinv, cfg, rin - _lapl(x, levels[0], cfg))
         return x.astype(r.dtype)
 
+    # resolved configuration, introspectable (tests assert the cycle shape
+    # an entry point actually built — e.g. V(2,2) at 512^3-class grids)
+    M.config = cfg
     return M

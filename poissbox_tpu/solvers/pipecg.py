@@ -78,13 +78,28 @@ def pipecg(
     rtol: float = 1.0e-5,
     atol: float = 1.0e-50,
     max_it: int = 500,
+    norm_type: str = "unpreconditioned",
+    monitor: bool = False,
 ) -> SolveResult:
     """Solve A x = b by pipelined preconditioned CG (KSPPIPECG analogue).
 
     Same contract as :func:`poissbox_tpu.solvers.cg.cg` (projected RHS,
-    `SolveResult` with history); convergence is monitored on the
-    recurrence ||r||_2 relative to ||b||.
+    `SolveResult` with history). `norm_type='unpreconditioned'` (default)
+    monitors the recurrence ||r||_2 relative to ||b||; 'natural' monitors
+    sqrt(<r, M r>) = sqrt(gamma), which PIPECG already computes — either way
+    all three scalars live in the iteration's single fused reduction group,
+    so the norm choice costs nothing extra.
+
+    There is no `flexible` variant: PIPECG's scalar recurrence hard-codes
+    the Fletcher-Reeves beta (the pipelining identity alpha_k depends on
+    it), so a nonstationary preconditioner (e.g. a bf16 V-cycle) stalls it
+    exactly like plain CG — use `fcg` there (PETSc likewise has no
+    pipelined FCG with mmax-style truncation at one reduction).
     """
+    if norm_type not in ("unpreconditioned", "natural"):
+        raise ValueError(f"unknown norm_type {norm_type!r} "
+                         "(expected unpreconditioned|natural)")
+    natural = norm_type == "natural"
     b = A.project(b)
     precond = M if M is not None else (lambda v: v)
 
@@ -103,12 +118,21 @@ def pipecg(
     w = A(u)
     gamma = _dot(r, u)
     delta = _dot(w, u)
-    rnorm0 = jnp.sqrt(_dot(r, r))
-    bnorm = jnp.sqrt(_dot(b, b))
+    # |gamma|: on a sign-consistent negative-definite (A, M) pair — this
+    # framework's Laplacian — <r, u> is negative and the flipped system's
+    # natural norm is sqrt(-gamma); abs covers both orientations
+    rnorm0 = (jnp.sqrt(jnp.abs(gamma)) if natural
+              else jnp.sqrt(_dot(r, r)))
+    # natural norm: ||b||_M would cost an extra preconditioner apply, so the
+    # initial natural residual stands in (as in cg's UIRNorm-style choice)
+    bnorm = rnorm0 if natural else jnp.sqrt(_dot(b, b))
 
     zero = jnp.zeros_like(b)
     hist = jnp.full((max_it + 1,), jnp.nan, dtype=b.dtype)
     hist = hist.at[0].set(rnorm0)
+    if monitor:
+        from poissbox_tpu.solvers.cg import emit_monitor
+        emit_monitor(jnp.int32(0), rnorm0)
 
     atol_ = jnp.asarray(atol, b.dtype)
     rtol_ = jnp.asarray(rtol, b.dtype)
@@ -151,10 +175,14 @@ def pipecg(
         # this iteration's reduction group — consumed only NEXT iteration
         gamma = _dot(r, u)
         delta = _dot(w, u)
-        rr = _dot(r, r)
-        resnorm = jnp.where(ok, jnp.sqrt(rr), jnp.zeros_like(st.resnorm))
+        norm = (jnp.sqrt(jnp.abs(gamma)) if natural
+                else jnp.sqrt(_dot(r, r)))
+        resnorm = jnp.where(ok, norm, jnp.zeros_like(st.resnorm))
         k = st.k + 1
         hist = st.hist.at[k].set(resnorm)
+        if monitor:
+            from poissbox_tpu.solvers.cg import emit_monitor
+            emit_monitor(k, resnorm)
         return _State(x, r, u, w, z, q, s, p, gamma, st.gamma, delta,
                       alpha, resnorm, k, hist)
 

@@ -1,0 +1,281 @@
+"""Round-3 behaviors: `-options_left`, size-aware sweep unification across
+entry points, pipecg options parity, and live `-ksp_monitor` streaming.
+
+Reference semantics being matched:
+  * PETSc options DB complains about set-but-unused options
+    (`-options_left`; the reference wires every object through the DB,
+    reference src/poissbox.f90:295) — a typo like `-mg_cylce w` must fail
+    loudly instead of silently no-op'ing.
+  * One solver of record (reference README.md:42-47): the options entry
+    point and the MGConfig() default path must build the SAME cycle.
+  * `-ksp_monitor` prints residuals *while* KSPSolve runs (reference
+    README.md:48-49).
+"""
+
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from poissbox_tpu.config import Options, SolverOptions
+from poissbox_tpu.linops import LinearOperator
+from poissbox_tpu.mesh import Grid3D
+from poissbox_tpu.ops.stencil import make_laplacian_operator
+from poissbox_tpu.solvers.ksp import make_preconditioner, make_solver, solve
+
+
+def _identity_op():
+    return LinearOperator(apply=lambda x: x,
+                          diagonal=lambda: jnp.asarray(1.0))
+
+
+class TestOptionsLeft:
+    def test_typo_fails_loudly(self):
+        # `-mg_cylce w` (typo of -mg_cycle) must not be a silent no-op
+        opts = Options(["-ksp_type", "cg", "-pc_type", "none",
+                        "-mg_cylce", "w"])
+        SolverOptions.from_options(opts)  # consumes the legit keys
+        assert opts.unused_keys() == ["mg_cylce"]
+        with pytest.raises(ValueError, match="mg_cylce"):
+            opts.check_unused(error=True)
+
+    def test_clean_run_is_silent(self):
+        opts = Options(["-ksp_type", "cg", "-ksp_rtol", "1e-7"])
+        SolverOptions.from_options(opts)
+        assert opts.unused_keys() == []
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            opts.check_unused()  # must not warn
+
+    def test_unused_warns_by_default(self):
+        opts = Options(["-ksp_typo", "cg"])
+        with pytest.warns(UserWarning, match="ksp_typo"):
+            opts.check_unused()
+
+    def test_error_flag_read_from_db(self):
+        opts = Options(["-bogus_flag", "-options_error_if_unused"])
+        with pytest.raises(ValueError, match="bogus_flag"):
+            opts.check_unused()
+
+    def test_demo_errors_on_typo(self):
+        from poissbox_tpu import demo
+        with pytest.raises(ValueError, match="mg_cylce"):
+            demo.run(Options(["-n", "16", "-mg_cylce", "w",
+                              "-options_error_if_unused"]))
+
+
+class TestSweepPolicyUnified:
+    """VERDICT r2 task 3: with neither -mg_levels_ksp_rtol nor
+    -mg_levels_ksp_max_it set, the options entry point must resolve the
+    same size-aware sweep counts as MGConfig() (solvers.mg._resolve_sweeps):
+    V(3,3) at 256^3-class, V(2,2) at 512^3-class."""
+
+    def _cfg_for(self, shape, flags=()):
+        opts = SolverOptions.from_options(Options(["-pc_type", "mg", *flags]))
+        A = _identity_op()
+        deltas = tuple(1.0 / s for s in shape)
+        M = make_preconditioner(A, opts, shape, deltas, jnp.float64)
+        return M.config
+
+    def test_auto_matches_mgconfig_512(self):
+        from poissbox_tpu.solvers.mg import MGConfig, make_mg_preconditioner
+        shape = (512, 512, 512)
+        cfg_opts = self._cfg_for(shape)
+        M_direct = make_mg_preconditioner(shape, (1 / 512,) * 3, MGConfig(),
+                                          dtype=jnp.float64)
+        assert cfg_opts.pre_smooth == M_direct.config.pre_smooth == 2
+        assert cfg_opts.post_smooth == M_direct.config.post_smooth == 2
+
+    def test_auto_matches_mgconfig_64(self):
+        cfg = self._cfg_for((64, 64, 64))
+        assert (cfg.pre_smooth, cfg.post_smooth) == (3, 3)
+
+    def test_explicit_flags_keep_calibrated_path(self):
+        from poissbox_tpu.solvers.mg import sweeps_for_level_rtol
+        cfg = self._cfg_for((512, 512, 512),
+                            ["-mg_levels_ksp_rtol", "1e-8",
+                             "-mg_levels_ksp_max_it", "30"])
+        assert cfg.pre_smooth == sweeps_for_level_rtol("sor", 1e-8, 30) > 2
+
+    def test_max_it_alone_binds(self):
+        cfg = self._cfg_for((64, 64, 64), ["-mg_levels_ksp_max_it", "1"])
+        assert cfg.pre_smooth == 1
+
+
+class TestPipecgParity:
+    def _problem(self):
+        grid = Grid3D((16, 16, 16))
+        A = make_laplacian_operator(grid)
+        x = A.project(jax.random.normal(jax.random.PRNGKey(5), grid.n,
+                                        jnp.float64))
+        return grid, A, A(x), x
+
+    def test_natural_norm_converges(self):
+        from poissbox_tpu.solvers.pipecg import pipecg
+        grid, A, b, x_exact = self._problem()
+        inv_diag = 1.0 / A.diagonal()
+        res = pipecg(A, b, M=lambda r: inv_diag * r, rtol=1e-10, max_it=200,
+                     norm_type="natural")
+        assert bool(res.converged)
+        np.testing.assert_allclose(np.asarray(res.x), np.asarray(x_exact),
+                                   rtol=1e-7, atol=1e-9)
+
+    def test_cg_natural_norm_negative_definite(self):
+        # regression: <r, M r> is NEGATIVE on this sign-consistent
+        # negative-definite pair; a clamped sqrt(max(.,0)) reported 0 and
+        # stalled the solve at x=0 without iterating
+        from poissbox_tpu.solvers.cg import cg
+        grid, A, b, x_exact = self._problem()
+        inv_diag = 1.0 / A.diagonal()
+        res = cg(A, b, M=lambda r: inv_diag * r, rtol=1e-10, max_it=200,
+                 norm_type="natural")
+        assert bool(res.converged) and int(res.iterations) > 0
+        np.testing.assert_allclose(np.asarray(res.x), np.asarray(x_exact),
+                                   rtol=1e-7, atol=1e-9)
+
+    def test_bad_norm_type_rejected(self):
+        from poissbox_tpu.solvers.pipecg import pipecg
+        _, A, b, _ = self._problem()
+        with pytest.raises(ValueError, match="norm_type"):
+            pipecg(A, b, norm_type="preconditioned")
+
+    def test_norm_type_flag_dispatches(self):
+        grid, A, b, x_exact = self._problem()
+        o = SolverOptions(ksp_type="pipecg", ksp_norm_type="natural",
+                          pc_type="jacobi", ksp_rtol=1e-10, ksp_max_it=200)
+        res = make_solver(A, o, grid.n, grid.deltas)(b)
+        assert bool(res.converged)
+        np.testing.assert_allclose(np.asarray(res.x), np.asarray(x_exact),
+                                   rtol=1e-7, atol=1e-9)
+
+    @pytest.mark.parametrize("ksp_type,should_warn", [
+        ("cg", True), ("pipecg", True), ("fcg", False)])
+    def test_bf16_warning_matrix(self, ksp_type, should_warn):
+        # bf16 V-cycle noise stalls the Fletcher-Reeves recurrence of both
+        # cg and pipecg; only fcg's Polak-Ribiere beta is exempt
+        A = _identity_op()
+        o = SolverOptions(ksp_type=ksp_type, pc_type="mg", ksp_rtol=1e-8,
+                          mg_cycle_dtype="bfloat16")
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            make_preconditioner(A, o, (16, 16, 16), (1 / 16,) * 3)
+        stall = [w for w in caught if "bf16" in str(w.message)]
+        assert bool(stall) == should_warn
+
+    @pytest.mark.parametrize("ksp_type", ["cg", "pipecg", "fcg"])
+    def test_f32_cycle_no_warning(self, ksp_type):
+        A = _identity_op()
+        o = SolverOptions(ksp_type=ksp_type, pc_type="mg", ksp_rtol=1e-8,
+                          mg_cycle_dtype="float32")
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            make_preconditioner(A, o, (16, 16, 16), (1 / 16,) * 3)
+        assert not [w for w in caught if "bf16" in str(w.message)]
+
+
+class TestDistFusedUpdate:
+    """VERDICT r2 weak #8: the distributed CG path now fuses the x/r
+    iterate update with the next iteration's reductions, like the
+    single-chip path."""
+
+    def _mesh_grid(self, n=16):
+        from poissbox_tpu.mesh import Grid3D
+        return Grid3D((n, n, n)).with_mesh()
+
+    def test_sharded_update_matches_unfused(self):
+        from poissbox_tpu.parallel.dist_stencil import cg_fused_update_sharded
+        grid = self._mesh_grid()
+        if grid.mesh is None:
+            pytest.skip("needs a multi-device mesh")
+        k = jax.random.PRNGKey(3)
+        ks = jax.random.split(k, 4)
+        x, p, r, ap = (grid.shard(jax.random.normal(kk, grid.n, jnp.float64))
+                       for kk in ks)
+        alpha = 0.37
+        xo, ro, rr, sr = jax.jit(
+            lambda *a: cg_fused_update_sharded(*a, grid))(alpha, x, p, r, ap)
+        np.testing.assert_allclose(np.asarray(xo), np.asarray(x + alpha * p),
+                                   rtol=1e-12, atol=1e-14)
+        re = r - alpha * ap
+        np.testing.assert_allclose(np.asarray(ro), np.asarray(re),
+                                   rtol=1e-12, atol=1e-14)
+        np.testing.assert_allclose(float(rr), float(jnp.sum(re * re)),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(float(sr), float(jnp.sum(re)),
+                                   rtol=1e-10, atol=1e-10)
+
+    def test_dist_operator_binds_fused_update(self):
+        from poissbox_tpu.ops.stencil import make_laplacian_operator
+        grid = self._mesh_grid()
+        if grid.mesh is None:
+            pytest.skip("needs a multi-device mesh")
+        A = make_laplacian_operator(grid, impl="dist")
+        assert A.fused_update is not None
+        # end-to-end: the fused-update dist CG still matches the serial one
+        from poissbox_tpu.solvers.cg import cg
+        from poissbox_tpu.mesh import Grid3D
+        A_u = make_laplacian_operator(Grid3D(grid.n), impl="roll")
+        x_exact = A_u.project(
+            jax.random.normal(jax.random.PRNGKey(11), grid.n, jnp.float64))
+        b = A_u(x_exact)
+        res_u = cg(A_u, b, rtol=1e-10, max_it=400)
+        res_s = jax.jit(lambda bb: cg(A, bb, rtol=1e-10,
+                                      max_it=400))(grid.shard(b))
+        assert bool(res_s.converged)
+        assert abs(int(res_s.iterations) - int(res_u.iterations)) <= 1
+        np.testing.assert_allclose(np.asarray(res_s.x), np.asarray(res_u.x),
+                                   rtol=1e-6, atol=1e-9)
+
+
+class TestLiveMonitor:
+    """VERDICT r2 task 5: residual lines must appear DURING a jitted solve,
+    not from post-hoc history rendering."""
+
+    def _problem(self):
+        grid = Grid3D((16, 16, 16))
+        A = make_laplacian_operator(grid)
+        x = A.project(jax.random.normal(jax.random.PRNGKey(7), grid.n,
+                                        jnp.float64))
+        return A, A(x)
+
+    @pytest.mark.parametrize("ksp_type", ["cg", "fcg", "pipecg"])
+    def test_streams_inside_jit(self, ksp_type, capfd):
+        A, b = self._problem()
+        o = SolverOptions(ksp_type=ksp_type, pc_type="jacobi",
+                          ksp_rtol=1e-8, ksp_max_it=100, ksp_monitor=True)
+        slv = jax.jit(lambda bb: make_solver(A, o, b.shape,
+                                             (1 / 16,) * 3)(bb).x)
+        jax.block_until_ready(slv(b))
+        jax.effects_barrier()
+        out = capfd.readouterr().out
+        lines = [ln for ln in out.splitlines() if "KSP Residual norm" in ln]
+        assert len(lines) >= 3, out
+        # iteration counters present and starting at 0
+        assert lines[0].split()[0] == "0"
+        # the streamed norms are real decreasing residuals
+        norms = [float(ln.split()[-1]) for ln in lines]
+        assert norms[-1] < norms[0] * 1e-6
+
+    def test_solve_does_not_duplicate(self, capfd):
+        A, b = self._problem()
+        opts = Options(["-ksp_type", "cg", "-pc_type", "jacobi",
+                        "-ksp_rtol", "1e-8", "-ksp_max_it", "100",
+                        "-ksp_monitor"])
+        res = solve(A, b, opts, shape=b.shape, deltas=(1 / 16,) * 3)
+        jax.block_until_ready(res.x)
+        jax.effects_barrier()
+        out = capfd.readouterr().out
+        lines = [ln for ln in out.splitlines() if "KSP Residual norm" in ln]
+        starts = [ln.split()[0] for ln in lines]
+        assert len(starts) == len(set(starts)), "duplicated monitor lines"
+
+    def test_off_by_default(self, capfd):
+        A, b = self._problem()
+        o = SolverOptions(ksp_type="cg", pc_type="jacobi", ksp_rtol=1e-8,
+                          ksp_max_it=100)
+        jax.block_until_ready(
+            make_solver(A, o, b.shape, (1 / 16,) * 3)(b).x)
+        jax.effects_barrier()
+        assert "KSP Residual norm" not in capfd.readouterr().out
