@@ -42,6 +42,7 @@ def test_refined_reaches_f64():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.slow
 def test_sharded_solver():
     s = PoissonSolver((16, 16, 16), shard=True)
     assert s.grid.mesh is not None and s.grid.mesh.size == 8

@@ -116,6 +116,7 @@ class TestGrad3D:
         V = jnp.asarray(verts)
         return n, dx, C, V
 
+    @pytest.mark.slow
     def test_constant_field(self):
         n, dx, _, _ = self._grid()
         g = compact.grad(jnp.full((n, n, n), 3.0), (dx, dx, dx))
@@ -189,6 +190,7 @@ class TestInterp3D:
 
 
 class TestLaplCompact:
+    @pytest.mark.slow
     def test_constant_zero(self):
         n = 32
         dx = 1.0 / n

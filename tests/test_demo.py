@@ -12,6 +12,7 @@ sys.path.insert(0, "/root/repo")  # for __graft_entry__
 
 
 class TestDemo:
+    @pytest.mark.slow
     def test_demo_end_to_end_mgcg(self, capsys):
         from poissbox_tpu.config import Options
         from poissbox_tpu.demo import run
@@ -23,6 +24,7 @@ class TestDemo:
         assert "converged" in out
         assert res < 1e-7  # relative true residual
 
+    @pytest.mark.slow
     def test_demo_jacobi_cg(self, capsys):
         from poissbox_tpu.config import Options
         from poissbox_tpu.demo import run
@@ -30,6 +32,7 @@ class TestDemo:
                            "-ksp_rtol", "1e-6", "-ksp_max_it", "2000"]))
         assert res < 1e-5
 
+    @pytest.mark.slow
     def test_demo_monitor_output(self, capsys):
         from poissbox_tpu.config import Options
         from poissbox_tpu.demo import run
@@ -47,6 +50,7 @@ class TestGraftEntry:
         assert int(iters) > 0
 
     @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+    @pytest.mark.slow
     def test_dryrun_multichip(self):
         import __graft_entry__ as g
         g.dryrun_multichip(8)

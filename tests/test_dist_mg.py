@@ -151,6 +151,7 @@ class TestDistMG:
         assert dist_flags == [True, True, True, False]
         assert all(lvl.mesh is not None for lvl in levels)
 
+    @pytest.mark.slow
     def test_mgcg_dist_matches_unsharded_solution(self):
         n = 32
         grid_s = Grid3D((n, n, n)).with_mesh()

@@ -191,6 +191,7 @@ class TestDistributedFFT:
         np.testing.assert_allclose(np.asarray(x_dist), np.asarray(x_serial),
                                    rtol=0, atol=1e-12)
 
+    @pytest.mark.slow
     def test_dist_compact_direct_solve(self):
         from poissbox_tpu.mesh import make_device_mesh
         from poissbox_tpu.ops.compact import make_compact_laplacian_operator
@@ -206,6 +207,7 @@ class TestDistributedFFT:
         np.testing.assert_allclose(np.asarray(x_dist), np.asarray(x_serial),
                                    rtol=0, atol=1e-11)
 
+    @pytest.mark.slow
     def test_options_driven_dist_solve(self):
         from poissbox_tpu.mesh import make_device_mesh
         n = 16

@@ -202,6 +202,7 @@ class TestWCycle:
         r = float(jnp.linalg.norm((A(res.x) - b).ravel()))
         assert r < 1e-8 * float(jnp.linalg.norm(b.ravel()))
 
+    @pytest.mark.slow
     def test_pre_dtype_low_precision_presmooth(self):
         # bf16 pre-smoothing must not change the cycle's fixed point: the
         # f64 residual absorbs the quantized iterate, so MG-CG converges
@@ -338,6 +339,7 @@ class TestMGCG:
         assert int(res.iterations) <= 12
         assert rms(np.asarray(res.x - u)) < 1e-7
 
+    @pytest.mark.slow
     def test_mgcg_64_demo_problem(self):
         # the reference demo's 64^3 problem with its solver of record:
         # CG + multigrid, random mean-free solution, rtol 1e-8
@@ -355,6 +357,7 @@ class TestMGCG:
         b_norm = float(jnp.linalg.norm(b.ravel()))
         assert true_res < 1e-7 * b_norm
 
+    @pytest.mark.slow
     def test_bf16_cycle_converges(self):
         # reduced-precision V-cycle (MGConfig.dtype="bfloat16"): the
         # preconditioner runs its smoothers/transfers in bf16 (half the HBM
@@ -378,6 +381,7 @@ class TestMGCG:
         # bf16 smoothing may cost a few extra outer iterations, no more
         assert int(res.iterations) <= int(ref.iterations) + 4
 
+    @pytest.mark.slow
     def test_iteration_count_mesh_independence(self):
         # multigrid's defining property: iterations ~ constant in n
         counts = []

@@ -151,6 +151,7 @@ class TestShardedSolve:
         np.testing.assert_allclose(np.asarray(res_s.x), np.asarray(res_u.x),
                                    rtol=1e-6, atol=1e-8)
 
+    @pytest.mark.slow
     def test_mgcg_sharded_converges(self):
         n = 32
         grid = Grid3D((n, n, n)).with_mesh()

@@ -5,6 +5,7 @@ rtol 1e-5 and its recommended 1e-8 runs (reference README.md:48)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from poissbox_tpu.mesh import Grid3D
 from poissbox_tpu.ops.stencil import make_laplacian_operator
@@ -13,6 +14,7 @@ from poissbox_tpu.solvers.mg import MGConfig, make_mg_preconditioner
 from poissbox_tpu.solvers.refine import refine
 
 
+@pytest.mark.slow
 def test_refinement_reaches_f64_accuracy():
     n = 32
     grid = Grid3D((n, n, n))

@@ -60,9 +60,12 @@ class TestOptionsLeft:
             opts.check_unused()
 
     def test_demo_errors_on_typo(self):
+        # jacobi keeps the run cheap — the options-left check fires either
+        # way, after the solve completes
         from poissbox_tpu import demo
         with pytest.raises(ValueError, match="mg_cylce"):
-            demo.run(Options(["-n", "16", "-mg_cylce", "w",
+            demo.run(Options(["-n", "16", "-pc_type", "jacobi",
+                              "-ksp_rtol", "1e-4", "-mg_cylce", "w",
                               "-options_error_if_unused"]))
 
 

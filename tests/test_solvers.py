@@ -296,6 +296,7 @@ class TestPipelinedCG:
         assert abs(int(r_p.iterations) - int(r_cg.iterations)) <= 2
         assert rms(np.asarray(r_p.x - u)) < 1e-8
 
+    @pytest.mark.slow
     def test_mg_preconditioned_sharded(self):
         # the solver pipecg exists FOR: MG-preconditioned solves on a
         # device mesh, where the reduction psums overlap with the V-cycle
