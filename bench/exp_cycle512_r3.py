@@ -1,6 +1,6 @@
-"""SOR over-relaxation sweep at the flagship grid: can omega > 1 recover
-4-iteration convergence at V(2,2) cost (512^3, rtol 1e-6)? Prints one JSON
-line per omega with iters and differenced solve time."""
+"""Cycle-shape sweep at 512^3 (round 3): can a W-cycle (or 2 cycles per
+application) drop the V(2,2) iteration count 5 -> 4 for a net win?
+Existing kernels only — each config is one XLA-glue recompile."""
 
 import json
 import sys
@@ -20,27 +20,34 @@ from poissbox_tpu.solvers.mg import MGConfig, make_mg_preconditioner
 from poissbox_tpu.utils.profiling import solve_time
 
 
+CONFIGS = {
+    "v22": MGConfig(pre_smooth=2, post_smooth=2),
+    "w22d1": MGConfig(pre_smooth=2, post_smooth=2, cycle="w", w_depth=1),
+    "w22d2": MGConfig(pre_smooth=2, post_smooth=2, cycle="w", w_depth=2),
+    "v22x2": MGConfig(pre_smooth=2, post_smooth=2, cycles=2),
+    "v33": MGConfig(pre_smooth=3, post_smooth=3),
+    "w11d2": MGConfig(pre_smooth=1, post_smooth=1, cycle="w", w_depth=2),
+    "v11": MGConfig(pre_smooth=1, post_smooth=1),
+}
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-    omegas = [float(w) for w in (sys.argv[2].split(",") if len(sys.argv) > 2
-                                 else ["1.0", "1.1", "1.2", "1.3"])]
+    names = sys.argv[2].split(",") if len(sys.argv) > 2 else list(CONFIGS)
     dtype = jnp.float32
     grid = Grid3D((n, n, n))
     A = make_laplacian_operator(grid)
     u = jax.random.uniform(jax.random.PRNGKey(1), grid.n, dtype, -1.0, 1.0)
     b = A(u - jnp.mean(u))
-    sweeps = int(sys.argv[3]) if len(sys.argv) > 3 else -1
-    for omega in omegas:
-        cfg = MGConfig(damping=omega, pre_smooth=sweeps, post_smooth=sweeps)
+    for name in names:
+        cfg = CONFIGS[name]
         M = make_mg_preconditioner(grid.n, grid.deltas, cfg, dtype=dtype)
         solve = jax.jit(lambda bb, M=M: cg(A, bb, M=M, rtol=1e-6, max_it=50))
         res = solve(b)
         iters = int(res.iterations)
         rel = float(res.residual_norm / res.history[0])
         dt = solve_time(solve, b)
-        print(json.dumps({"omega": omega, "n": n,
-                          "pre": M.config.pre_smooth,
-                          "iters": iters, "rel": rel,
+        print(json.dumps({"cfg": name, "n": n, "iters": iters, "rel": rel,
                           "solve_ms": dt * 1e3}), flush=True)
     return 0
 

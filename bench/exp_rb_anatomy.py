@@ -103,15 +103,36 @@ def main():
         x = _rb_halfstep(xe, be[0:m0], w0, invs)
         return x[1:-1]
 
-    from poissbox_tpu.utils.profiling import kernel_time
-    for tag, upd in [("copy (memory floor)", upd_copy),
-                     ("production double sweep", upd_prod),
-                     ("2x jacobi (no masks)", upd_jacobi2),
+    # b MUST ride as an ARGUMENT of the jitted loop: a closed-over 512^3
+    # array is inlined into the HLO as a 512 MB literal, which the
+    # remote-compile path rejects (breaks the tunnel pipe)
+    import time as _time
+
+    def ktime(f, lo=5, hi=20, reps=3):
+        def timed(iters):
+            g = jax.jit(lambda v, a: jnp.sum(
+                jax.lax.fori_loop(0, iters, lambda _, w: f(w, a), v)))
+            float(g(u, b))
+            best = float("inf")
+            for _ in range(reps):
+                t0 = _time.perf_counter()
+                float(g(u, b))
+                best = min(best, t0 * 0 + _time.perf_counter() - t0)
+            return best
+        t_lo, t_hi = timed(lo), timed(hi)
+        return max((t_hi - t_lo) / (hi - lo), 1e-12)
+
+    for tag, upd in [("production double sweep", upd_prod),
                      ("no-rotate double", upd_norot),
-                     ("single half-step", upd_single)]:
-        t = kernel_time(lambda v, a=b, f=upd: launch(v, a, f, H, Hb), u,
-                        lo=5, hi=20)
-        print(json.dumps({"variant": tag, "ms": t * 1e3}), flush=True)
+                     ("single half-step", upd_single),
+                     ("2x jacobi (no masks)", upd_jacobi2),
+                     ("copy (memory floor)", upd_copy)]:
+        try:
+            t = ktime(lambda v, a, f=upd: launch(v, a, f, H, Hb))
+            print(json.dumps({"variant": tag, "ms": t * 1e3}), flush=True)
+        except Exception as e:  # noqa: BLE001 — tunnel flake, keep going
+            print(json.dumps({"variant": tag, "error": str(e)[:120]}),
+                  flush=True)
     return 0
 
 

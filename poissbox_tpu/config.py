@@ -157,9 +157,10 @@ class SolverOptions:
     # Level-solve stopping controls (PETSc stops at rtol OR max_it,
     # whichever binds first; reference README.md:43-44 sets rtol 1e-4).
     # Negative = UNSET: when neither is given, the sweep count is resolved
-    # size-aware by solvers.mg._resolve_sweeps (V(3,3) up to 256^3-class
-    # grids, V(2,2) at 512^3 — the measured end-to-end optima), so the
-    # options entry point and MGConfig() defaults build the same cycle.
+    # size-aware by solvers.mg._resolve_sweeps (V(1,1) at 512^3-class,
+    # V(2,2) at 256^3-class, V(3,3) below — the measured end-to-end
+    # optima), so the options entry point and MGConfig() defaults build
+    # the same cycle.
     # Explicit flags take the calibrated sweeps_for_level_rtol path.
     mg_levels_ksp_max_it: int = -1
     mg_levels_ksp_rtol: float = -1.0

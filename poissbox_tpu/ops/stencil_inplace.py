@@ -51,15 +51,20 @@ def _upd_jacobi(xe, be, i0, *, invs, winv):
     return xe[1:-1] + winv * (be - _star(xe, invs))
 
 
-def _make_kernel(nx, ny, nz, T, H, Hb, dtype, update, with_b):
+def _make_kernel(nx, ny, nz, T, H, Hb, dtype, update, with_b, dots=False):
     """Build the manual-pipeline kernel body. `update(xe, be, x0)` maps the
     halo-extended u slab (T+2H planes) and b slab (T+2Hb planes) to the T
-    output planes; x0 is the absolute x index of the first written plane."""
+    output planes; x0 is the absolute x index of the first written plane.
+
+    `dots=True` adds a second (8, 128) output holding, in slots [0, 0] and
+    [0, 1], the reductions <x_out, b> and sum(x_out) accumulated slab by
+    slab while everything is still VMEM-resident — the CG coupling
+    reductions <r, M r> and sum(M r) then cost no extra HBM pass."""
     nb = nx // T
     P = T + 2 * H
     Pb = T + 2 * Hb
 
-    def kernel(u_hbm, b_hbm, out_hbm):
+    def kernel(u_hbm, b_hbm, out_hbm, *dots_out):
         def body(ub, bb, ob, wrap, sul, sub, sur, sbl, sbb, sbr, so, sw):
             # -- prologue: save the wrap planes [0, H) before any write
             w = pltpu.make_async_copy(u_hbm.at[pl.ds(0, H)], wrap, sw)
@@ -115,7 +120,7 @@ def _make_kernel(nx, ny, nz, T, H, Hb, dtype, update, with_b):
 
             fetch(0, 0)
 
-            def step(i, _):
+            def step(i, carry):
                 slot = jax.lax.rem(i, 2)
                 nxt = jax.lax.rem(i + 1, 2)
                 # the fetch for i was started in the previous iteration
@@ -142,6 +147,13 @@ def _make_kernel(nx, ny, nz, T, H, Hb, dtype, update, with_b):
                     write(slot, i - 2).wait()
                 be = bb[slot] if with_b else None
                 ob[slot] = update(ub[slot], be, i * T)
+                if dots:
+                    # slab contribution to the coupling reductions while
+                    # the written planes are still VMEM-resident
+                    xo = ob[slot]
+                    rv, sv = carry
+                    carry = (rv + jnp.sum(xo * bb[slot, Hb:Hb + T]),
+                             sv + jnp.sum(xo))
                 # start the next fetch, and gate this slab's write-back on
                 # the *left-halo* DMA of slab i+1 — the only later read
                 # that overlaps [iT, iT+T)
@@ -150,9 +162,17 @@ def _make_kernel(nx, ny, nz, T, H, Hb, dtype, update, with_b):
                     fetch(nxt, i + 1)
                     u_left(nxt, i + 1).wait()
                 write(slot, i).start()
-                return 0
+                return carry
 
-            jax.lax.fori_loop(0, nb, step, 0, unroll=False)
+            zero = jnp.zeros((), dtype)
+            acc = jax.lax.fori_loop(0, nb, step, (zero, zero), unroll=False)
+            if dots:
+                ii = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+                jj = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+                dots_out[0][...] = jnp.where(
+                    (ii == 0) & (jj == 0), acc[0],
+                    jnp.where((ii == 0) & (jj == 1), acc[1],
+                              jnp.zeros((), dtype))).astype(dtype)
             write(jax.lax.rem(nb - 1, 2), nb - 1).wait()
             @pl.when(nb >= 2)
             def _():
@@ -224,8 +244,9 @@ def _jacobi_inplace(u, b, deltas, weight):
 
 
 @functools.partial(jax.jit, static_argnames=("deltas", "weight", "reverse",
-                                             "nsweeps"))
-def _sor_rb_multi_inplace(u, b, deltas, weight, reverse, nsweeps):
+                                             "nsweeps", "dots"))
+def _sor_rb_multi_inplace(u, b, deltas, weight, reverse, nsweeps,
+                          dots=False):
     """`nsweeps` complete red-black sweeps (2*nsweeps color half-steps)
     fused into ONE in-place memory pass — temporal blocking through the
     slab pipeline: the u halo widens to H = 2*nsweeps planes per side and
@@ -244,11 +265,11 @@ def _sor_rb_multi_inplace(u, b, deltas, weight, reverse, nsweeps):
         # split the fusion instead of running an unsound schedule
         if nsweeps == 1:
             from poissbox_tpu.ops.stencil_pallas import _sor_rb, _pick_tiles
-            return _sor_rb(u, b, deltas, weight, reverse,
-                           _pick_tiles(u)[0])
+            x = _sor_rb(u, b, deltas, weight, reverse, _pick_tiles(u)[0])
+            return (x, jnp.sum(x * b), jnp.sum(x)) if dots else x
         x = _sor_rb_multi_inplace(u, b, deltas, weight, reverse, nsweeps // 2)
         return _sor_rb_multi_inplace(x, b, deltas, weight, reverse,
-                                     nsweeps - nsweeps // 2)
+                                     nsweeps - nsweeps // 2, dots=dots)
 
     def update(xe, be, x0):
         # xe: T+2H planes at abs x-offset x0-H; be: T+2Hb at x0-Hb.
@@ -269,13 +290,19 @@ def _sor_rb_multi_inplace(u, b, deltas, weight, reverse, nsweeps):
             x = _rb_halfstep(x, be[j:j + m - 2], wj, invs)
         return x
 
-    kernel = _make_kernel(nx, ny, nz, T, H, Hb, u.dtype, update, True)
-    return pl.pallas_call(
+    kernel = _make_kernel(nx, ny, nz, T, H, Hb, u.dtype, update, True,
+                          dots=dots)
+    out_shape = jax.ShapeDtypeStruct(u.shape, u.dtype)
+    out_specs = pl.BlockSpec(memory_space=pl.ANY)
+    if dots:
+        out_shape = (out_shape, jax.ShapeDtypeStruct((8, 128), u.dtype))
+        out_specs = (out_specs, pl.BlockSpec(memory_space=pltpu.VMEM))
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
+        out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_specs=out_specs,
         input_output_aliases={0: 0},
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2**20),
         cost_estimate=pl.CostEstimate(
@@ -284,6 +311,10 @@ def _sor_rb_multi_inplace(u, b, deltas, weight, reverse, nsweeps):
             transcendentals=0),
         interpret=jax.default_backend() != "tpu",  # CPU tests
     )(u, b)
+    if dots:
+        x, d = out
+        return x, d[0, 0], d[0, 1]
+    return out
 
 
 def _sor_rb_inplace(u, b, deltas, weight, reverse):
@@ -298,10 +329,14 @@ def jacobi_sweep_inplace(u: jax.Array, b: jax.Array, deltas, weight: float):
 
 
 def sor_rb_sweep_inplace(u: jax.Array, b: jax.Array, deltas, weight: float,
-                         reverse: bool = False):
-    """Full red-black SOR sweep (both colors) through u's buffer."""
+                         reverse: bool = False, dots: bool = False):
+    """Full red-black SOR sweep (both colors) through u's buffer.
+
+    `dots=True` additionally returns (<x_out, b>, sum(x_out)) accumulated
+    in-kernel — zero extra HBM passes for the CG coupling reductions when
+    this is the V-cycle's final post-smooth sweep."""
     return _sor_rb_multi_inplace(u, b, tuple(float(d) for d in deltas),
-                                 float(weight), bool(reverse), 1)
+                                 float(weight), bool(reverse), 1, dots=dots)
 
 
 def multi_ok(shape, dtype, nsweeps: int) -> bool:

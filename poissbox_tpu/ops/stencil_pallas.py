@@ -787,7 +787,8 @@ def sor_sweep_pallas(u: jax.Array, b: jax.Array, deltas: Sequence[float],
 
 def sor_rb_multisweep_pallas(u: jax.Array, b: jax.Array,
                              deltas: Sequence[float], weight: float,
-                             nsweeps: int, reverse: bool = False) -> jax.Array:
+                             nsweeps: int, reverse: bool = False,
+                             dots: bool = False):
     """`nsweeps` complete red-black sweeps.
 
     Deliberately NOT temporally blocked: the fused k-sweep in-place kernel
@@ -795,9 +796,26 @@ def sor_rb_multisweep_pallas(u: jax.Array, b: jax.Array,
     SLOWER at 512^3 — VMEM limits force the slab down to T = 4 at H = 4,
     so halo amplification (T+2H)/T = 3x eats the saved memory passes
     (5.8 ms/sweep fused vs 4.5 single). Full-plane slabs leave no VMEM
-    headroom for temporal blocking; it would need y-paneling first."""
-    for _ in range(nsweeps):
-        u = sor_rb_sweep_pallas(u, b, deltas, weight, reverse)
+    headroom for temporal blocking; it would need y-paneling first.
+
+    `dots=True` also returns (<x_out, b>, sum(x_out)): the in-place kernel
+    accumulates them during its final sweep for free; other paths compute
+    them explicitly (same cost as the caller doing it — correctness
+    parity, no penalty)."""
+    from poissbox_tpu.ops import stencil_inplace
+    inplace = stencil_inplace.available(u.shape, u.dtype)
+    for k in range(nsweeps):
+        last = k == nsweeps - 1
+        if inplace:
+            out = stencil_inplace.sor_rb_sweep_inplace(
+                u, b, deltas, weight, reverse, dots=dots and last)
+            u = out[0] if (dots and last) else out
+            if dots and last:
+                return out
+        else:
+            u = sor_rb_sweep_pallas(u, b, deltas, weight, reverse)
+    if dots:
+        return u, jnp.sum(u * b), jnp.sum(u)
     return u
 
 

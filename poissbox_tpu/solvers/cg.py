@@ -168,6 +168,12 @@ def cg(
     # their own form (single-device Pallas kernel, or its shard_map
     # wrapper with psum'd partials on distributed operators)
     fuse_upd = getattr(A, "fused_update", None) is not None and b.ndim == 3
+    # fused coupling reductions: an MG preconditioner that folds
+    # (<r, M r>, sum(M r)) into its final post-smooth kernel removes the
+    # separate reduction pass over (r, v). Not used with an explicit
+    # projector (v is post-projected) or flexible CG (needs <A p, v> too).
+    apply_dots = (getattr(M, "apply_dots", None)
+                  if not explicit_proj and not flexible else None)
 
     def body(s: _CGState) -> _CGState:
         if A.apply_dot is not None:
@@ -188,18 +194,24 @@ def cg(
             x = s.x + alpha * s.p
             r = s.r - alpha * Ap
             rr_k = sr_k = None
-        v = precond(r)
-        if explicit_proj:
-            v = A.project(v)
-        if M is None and not explicit_proj:
-            rr = rr_k if fuse_upd else _dot(r, r)
-            rv, sv, sr = rr, (sr_k if fuse_upd else jnp.sum(r)), None
-        else:
-            rv = _dot(r, v)
-            sv = jnp.sum(v)
+        if apply_dots is not None:
+            v, rv, sv = apply_dots(r)
             sr = sr_k if fuse_upd else jnp.sum(r)
             rr = (None if natural
                   else (rr_k if fuse_upd else _dot(r, r)))
+        else:
+            v = precond(r)
+            if explicit_proj:
+                v = A.project(v)
+            if M is None and not explicit_proj:
+                rr = rr_k if fuse_upd else _dot(r, r)
+                rv, sv, sr = rr, (sr_k if fuse_upd else jnp.sum(r)), None
+            else:
+                rv = _dot(r, v)
+                sv = jnp.sum(v)
+                sr = sr_k if fuse_upd else jnp.sum(r)
+                rr = (None if natural
+                      else (rr_k if fuse_upd else _dot(r, r)))
         if project_z:
             rz_new = rv - sv * ((sv if sr is None else sr) * inv_n)
             zshift = sv * inv_n

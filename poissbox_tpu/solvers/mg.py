@@ -51,12 +51,11 @@ class MGConfig:
     levels: int = 0               # 0 = auto (coarsen while divisible, > coarse_size)
     smoother: str = "sor"         # "sor" (red-black) | "jacobi" | "chebyshev"
     # -1 = auto, resolved against the fine-grid size when the
-    # preconditioner is built (make_mg_preconditioner): 3+3 RB sweeps
-    # measured fastest end-to-end at 256^3 on v5e (MG-CG 4 outer
-    # iterations; 2+2 needs 5, 1+1 needs 7 — 18.9 ms vs 19.8), while at
-    # 512^3 the cheaper V(2,2) wins despite the extra iteration (222 ms
-    # vs 245: the fine-level sweeps dominate the cycle there, so trading
-    # one more Krylov pass for two fewer sweeps/cycle pays).
+    # preconditioner is built (see _resolve_sweeps for the measured
+    # end-to-end optima on v5e: V(1,1) at 512^3-class, V(2,2) at
+    # 256^3-class, V(3,3) below — weaker smoothing + more Krylov
+    # iterations wins as the VPU-bound fine-level sweeps grow relative
+    # to the CG vector algebra).
     pre_smooth: int = -1          # smoother sweeps before coarse correction
     post_smooth: int = -1         # ... and after (reversed ordering)
     damping: Optional[float] = None  # None = per-smoother default (sor 1.0, jacobi 8/9)
@@ -316,8 +315,27 @@ def _color_mask(shape, dtype) -> Array:
 
 
 def _smooth(x: Optional[Array], b: Array, lvl: _Level, cfg: MGConfig,
-            sweeps: int, reverse: bool) -> Array:
+            sweeps: int, reverse: bool, dots: bool = False):
     """`sweeps` smoothing iterations of the level operator.
+
+    `dots=True` (final fine-level post-smooth only) also returns
+    (<x_out, b>, sum(x_out)) — the CG coupling reductions <r, M r> and
+    sum(M r). The in-place SOR kernel accumulates them during its last
+    sweep at zero extra HBM cost; every other path computes them
+    explicitly (cost parity with the caller doing it).
+    """
+    out = _smooth_impl(x, b, lvl, cfg, sweeps, reverse, dots)
+    if not dots:
+        return out
+    if isinstance(out, tuple):
+        return out
+    return out, jnp.sum(out * b), jnp.sum(out)
+
+
+def _smooth_impl(x: Optional[Array], b: Array, lvl: _Level, cfg: MGConfig,
+                 sweeps: int, reverse: bool, dots: bool = False):
+    """_smooth's body; returns x, or (x, rv, sv) from the fused-dots
+    in-place SOR path when `dots` (see _smooth).
 
     This is the Richardson-with-SOR/Jacobi level solve of the reference's MG
     configuration (reference README.md:43-47), with fixed sweep count in
@@ -431,7 +449,7 @@ def _smooth(x: Optional[Array], b: Array, lvl: _Level, cfg: MGConfig,
                 sor_rb_multisweep_pallas,
             )
             return sor_rb_multisweep_pallas(x, b, lvl.deltas, w, sweeps,
-                                            reverse=reverse)
+                                            reverse=reverse, dots=dots)
         red = _color_mask(lvl.shape, b.dtype)
         masks = {0: red, 1: 1.0 - red}
         if half:
@@ -517,9 +535,13 @@ def _coarse_correct(levels: Sequence[_Level], coarse_pinv: Array,
 
 
 def v_cycle(levels: Sequence[_Level], coarse_pinv: Array, cfg: MGConfig,
-            b: Array, idx: int = 0) -> Array:
+            b: Array, idx: int = 0, dots: bool = False):
     """One V-cycle for the level-`idx` system A_idx e = b. Pure; levels are
-    static so jit unrolls the recursion."""
+    static so jit unrolls the recursion.
+
+    `dots=True` (top level only) returns (x, <x, b>, sum(x)) with the
+    reductions folded into the final post-smooth kernel where possible —
+    the CG coupling dots <r, M r>, sum(M r) without their own HBM pass."""
     lvl = levels[idx]
     if idx == len(levels) - 1:
         # coarse solve in the pinv's (setup) precision regardless of the
@@ -553,22 +575,32 @@ def v_cycle(levels: Sequence[_Level], coarse_pinv: Array, cfg: MGConfig,
             levels[idx + 1])
         ec = _coarse_correct(levels, coarse_pinv, cfg, rc, idx + 1)
         x = xprolong_add_pallas(x, prolong_mm(ec, axes=(1, 2)))
-        return _smooth(x, b, lvl, cfg, cfg.post_smooth, reverse=True)
+        return _smooth(x, b, lvl, cfg, cfg.post_smooth, reverse=True,
+                       dots=dots)
     r = _residual(x, b, lvl, cfg)
     down, up = (restrict_mm, prolong_mm) if tr == "matmul" else (restrict, prolong)
     rc = _pin(down(r), levels[idx + 1])
     ec = _coarse_correct(levels, coarse_pinv, cfg, rc, idx + 1)
     x = x + _pin(up(ec), lvl)
-    return _smooth(x, b, lvl, cfg, cfg.post_smooth, reverse=True)
+    return _smooth(x, b, lvl, cfg, cfg.post_smooth, reverse=True, dots=dots)
 
 
 def _resolve_sweeps(cfg: MGConfig, shape: Sequence[int]) -> MGConfig:
-    """Resolve pre/post_smooth = -1 (auto) against the fine-grid size:
-    3 sweeps up to 256^3-class grids, 2 at 512^3-class — the measured
-    end-to-end optima (see MGConfig). Explicit values pass through."""
+    """Resolve pre/post_smooth = -1 (auto) against the fine-grid size —
+    the measured end-to-end optima on v5e with the fused coupling dots
+    (bench/exp_dots512.py, rtol 1e-6, iteration counts seed-stable):
+
+      512^3-class  V(1,1) @ 7 it = 203.9 ms   (V(2,2) @ 5 it = 215.6)
+      256^3-class  V(2,2) @ 5 it = 18.5 ms    (V(3,3) @ 4 it = 20.7)
+      <= 128^3     V(3,3) kept — sub-ms solves, and the stronger cycle
+                   preserves the reference-calibrated iteration counts
+
+    The VPU-bound RB sweeps get more expensive relative to the CG vector
+    algebra as the grid grows, so the optimum shifts toward weaker
+    smoothing + more Krylov iterations. Explicit values pass through."""
     if cfg.pre_smooth >= 0 and cfg.post_smooth >= 0:
         return cfg
-    auto = 2 if min(shape) >= 512 else 3
+    auto = 1 if min(shape) >= 512 else (2 if min(shape) >= 256 else 3)
     return dataclasses.replace(
         cfg,
         pre_smooth=cfg.pre_smooth if cfg.pre_smooth >= 0 else auto,
@@ -606,4 +638,11 @@ def make_mg_preconditioner(
     # resolved configuration, introspectable (tests assert the cycle shape
     # an entry point actually built — e.g. V(2,2) at 512^3-class grids)
     M.config = cfg
+    if cfg.cycles == 1 and cdt is None and len(levels) > 1:
+        # fused coupling reductions: (M r, <r, M r>, sum(M r)) with the
+        # dots folded into the final post-smooth kernel where possible
+        # (solvers.cg consumes this instead of its own reduction pass)
+        def apply_dots(r: Array):
+            return v_cycle(levels, pinv, cfg, r, dots=True)
+        M.apply_dots = apply_dots
     return M

@@ -88,8 +88,12 @@ class TestSweepPolicyUnified:
         cfg_opts = self._cfg_for(shape)
         M_direct = make_mg_preconditioner(shape, (1 / 512,) * 3, MGConfig(),
                                           dtype=jnp.float64)
-        assert cfg_opts.pre_smooth == M_direct.config.pre_smooth == 2
-        assert cfg_opts.post_smooth == M_direct.config.post_smooth == 2
+        assert cfg_opts.pre_smooth == M_direct.config.pre_smooth == 1
+        assert cfg_opts.post_smooth == M_direct.config.post_smooth == 1
+
+    def test_auto_256_class(self):
+        cfg = self._cfg_for((256, 256, 256))
+        assert (cfg.pre_smooth, cfg.post_smooth) == (2, 2)
 
     def test_auto_matches_mgconfig_64(self):
         cfg = self._cfg_for((64, 64, 64))
@@ -178,6 +182,63 @@ class TestPipecgParity:
         assert not [w for w in caught if "bf16" in str(w.message)]
 
 
+class TestCensusParser:
+    """utils.census HLO parsing — unit-level (the compiled-program
+    assertions live in tests/test_aot_multichip.py)."""
+
+    HLO = """\
+HloModule jit_f, entry_computation_layout={...}
+
+%wide.body_spmd (p: f32[8,16]) -> f32[8,16] {
+  %ar = f32[] all-reduce(f32[] %x), channel_id=1, to_apply=%sum
+  %cps = (f32[1,16]{1,0:T(8,128)S(1)}, f32[1,16]{1,0}, u32[]{:S(2)}, u32[]{:S(2)}) collective-permute-start(%slice.1), channel_id=2
+  %cpd = f32[1,16]{1,0} collective-permute-done(%cps)
+}
+
+ENTRY %main_spmd (arg: f32[8,16]) -> f32[8,16] {
+  %a2a = f32[8,16]{1,0} all-to-all(%arg), channel_id=3
+  %ag = f32[64,16]{1,0} all-gather(%arg), channel_id=4, dimensions={0}
+  %w = f32[8,16]{1,0} while(%arg), condition=%cond.1, body=%wide.body_spmd
+}
+"""
+
+    def test_counts_and_bytes(self):
+        from poissbox_tpu.utils.census import census
+        got = census(self.HLO)
+        assert got["all-to-all"] == {"count": 1, "bytes": 8 * 16 * 4}
+        assert got["all-gather"] == {"count": 1, "bytes": 64 * 16 * 4}
+        assert got["all-reduce"] == {"count": 1, "bytes": 4}
+        # async permute: counted once (start), payload = ONE buffer,
+        # u32 context scalars ignored
+        assert got["collective-permute"] == {"count": 1, "bytes": 16 * 4}
+
+    def test_computation_scoping_and_while_body(self):
+        from poissbox_tpu.utils.census import census, while_bodies
+        assert while_bodies(self.HLO) == ["wide.body_spmd"]
+        body = census(self.HLO, computation="wide.body_spmd")
+        assert set(body) == {"all-reduce", "collective-permute"}
+        main = census(self.HLO, computation="main_spmd")
+        assert set(main) == {"all-to-all", "all-gather"}
+
+    def test_max_gather_bytes(self):
+        from poissbox_tpu.utils.census import max_gather_bytes
+        assert max_gather_bytes(self.HLO) == 64 * 16 * 4
+
+    def test_halo_model_counts(self):
+        from poissbox_tpu.mesh import Grid3D
+        from poissbox_tpu.utils.census import halo_model
+        grid = Grid3D((16, 16, 16)).with_mesh()
+        if grid.mesh is None:
+            pytest.skip("needs a multi-device mesh")
+        from poissbox_tpu.parallel.dist_stencil import local_shape
+        loc = local_shape(grid)
+        want = halo_model(grid, itemsize=8)
+        # 2 permutes per sharded dim, one face plane each
+        n_ax = sum(1 for d, n in enumerate(grid.n)
+                   if loc[d] != n)
+        assert want["count"] == 2 * n_ax
+
+
 class TestDistFusedUpdate:
     """VERDICT r2 weak #8: the distributed CG path now fuses the x/r
     iterate update with the next iteration's reductions, like the
@@ -230,6 +291,76 @@ class TestDistFusedUpdate:
         assert abs(int(res_s.iterations) - int(res_u.iterations)) <= 1
         np.testing.assert_allclose(np.asarray(res_s.x), np.asarray(res_u.x),
                                    rtol=1e-6, atol=1e-9)
+
+
+class TestFusedCouplingDots:
+    """make_mg_preconditioner.apply_dots: (M r, <r, M r>, sum(M r)) with
+    the reductions folded into the final post-smooth kernel (no separate
+    HBM pass on the in-place SOR path); cg consumes it automatically."""
+
+    def _setup(self, n=32):
+        from poissbox_tpu.solvers.mg import MGConfig, make_mg_preconditioner
+        grid = Grid3D((n, n, n))
+        A = make_laplacian_operator(grid)
+        M = make_mg_preconditioner(grid.n, grid.deltas, MGConfig())
+        return grid, A, M
+
+    def test_matches_plain_apply(self):
+        grid, A, M = self._setup()
+        assert M.apply_dots is not None
+        r = A.project(jax.random.normal(jax.random.PRNGKey(0), grid.n,
+                                        jnp.float64))
+        v0 = M(r)
+        v1, rv, sv = jax.jit(M.apply_dots)(r)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
+                                   rtol=1e-12, atol=1e-15)
+        np.testing.assert_allclose(float(rv), float(jnp.sum(r * v0)),
+                                   rtol=1e-11)
+        np.testing.assert_allclose(float(sv), float(jnp.sum(v0)),
+                                   rtol=1e-8, atol=1e-12)
+
+    def test_cg_uses_it_and_converges_identically(self):
+        from poissbox_tpu.solvers.cg import cg
+        grid, A, M = self._setup()
+        x_ex = A.project(jax.random.normal(jax.random.PRNGKey(1), grid.n,
+                                           jnp.float64))
+        b = A(x_ex)
+        res = jax.jit(lambda bb: cg(A, bb, M=M, rtol=1e-10, max_it=50))(b)
+        # strip the hook; the explicit-reduction path must agree
+        M_plain = lambda r: M(r)
+        res0 = jax.jit(lambda bb: cg(A, bb, M=M_plain, rtol=1e-10,
+                                     max_it=50))(b)
+        assert bool(res.converged)
+        assert int(res.iterations) == int(res0.iterations)
+        np.testing.assert_allclose(np.asarray(res.x), np.asarray(res0.x),
+                                   rtol=1e-9, atol=1e-12)
+
+    def test_not_exposed_for_multi_cycle_or_cast(self):
+        from poissbox_tpu.solvers.mg import MGConfig, make_mg_preconditioner
+        grid = Grid3D((32, 32, 32))
+        M2 = make_mg_preconditioner(grid.n, grid.deltas, MGConfig(cycles=2))
+        assert getattr(M2, "apply_dots", None) is None
+        Mb = make_mg_preconditioner(grid.n, grid.deltas,
+                                    MGConfig(dtype="bfloat16"))
+        assert getattr(Mb, "apply_dots", None) is None
+
+    def test_inplace_kernel_dots(self):
+        # the fused in-place kernel path (interpret mode off-TPU)
+        from poissbox_tpu.ops.stencil_inplace import _sor_rb_multi_inplace
+        from poissbox_tpu.ops.stencil_pallas import sor_rb_sweep_pallas
+        n = 32
+        u = jax.random.normal(jax.random.PRNGKey(2), (n, n, n), jnp.float64)
+        b = jax.random.normal(jax.random.PRNGKey(3), (n, n, n), jnp.float64)
+        deltas = (1.0 / n,) * 3
+        x, rv, sv = _sor_rb_multi_inplace(u, b, deltas, 1.0, False, 1,
+                                          dots=True)
+        x0 = sor_rb_sweep_pallas(u, b, deltas, 1.0, False)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x0),
+                                   rtol=1e-12, atol=1e-14)
+        np.testing.assert_allclose(float(rv), float(jnp.sum(x0 * b)),
+                                   rtol=1e-11)
+        np.testing.assert_allclose(float(sv), float(jnp.sum(x0)),
+                                   rtol=1e-8, atol=1e-10)
 
 
 class TestLiveMonitor:
