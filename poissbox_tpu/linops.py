@@ -73,6 +73,11 @@ class LinearOperator:
     # in-kernel. Single-device operators bind the Pallas kernel directly;
     # distributed operators bind its shard_map form with psum'd partials.
     fused_update: Optional[Callable] = None
+    # optional fused CG search-direction update + matvec + dot:
+    # (v, p_old, beta, zshift) -> (p', A p', <p', A p'>) with
+    # p' = (v - zshift) + beta p_old formed inside the stencil kernel —
+    # kills the separate p-update memory pass (single-device Pallas only)
+    pupdate_apply_dot: Optional[Callable] = None
 
     def __call__(self, x: Array) -> Array:
         return self.apply(x)

@@ -100,6 +100,7 @@ def make_laplacian_operator(grid, impl: str = "auto"):
     apply_dot = None
     local_pallas = False
     fused_update = None
+    pupdate_apply_dot = None
     if impl == "roll":
         apply = lambda u: apply_laplacian(u, deltas)
     elif impl == "pointwise":
@@ -113,6 +114,13 @@ def make_laplacian_operator(grid, impl: str = "auto"):
         apply = lambda u: apply_laplacian_pallas(u, deltas)
         apply_dot = lambda u: apply_laplacian_dot_pallas(u, deltas)
         fused_update = cg_fused_update
+        # pupdate_lapl_dot_pallas (p-update fused into the matvec) is NOT
+        # bound by default — measured SLOWER end-to-end: fusing doubles
+        # the halo-extended fetches (v and p_old both need x/y halo
+        # reads), which costs more than the saved 3-stream pass (512^3
+        # MG-CG interleaved A/B: deferred 211.8 ms vs eager 201.8;
+        # bench/exp_pupd_ab.py). The kernel and cg's deferred-p path stay
+        # tested for operator stacks where the trade flips.
         local_pallas = True
     elif impl == "dist":
         if grid.mesh is None:
@@ -143,6 +151,7 @@ def make_laplacian_operator(grid, impl: str = "auto"):
         apply_dot=apply_dot,
         local_pallas=local_pallas,
         fused_update=fused_update,
+        pupdate_apply_dot=pupdate_apply_dot,
         direct_solve=None if grid.mesh is not None and grid.mesh.size > 1
         else direct_solve,
     )

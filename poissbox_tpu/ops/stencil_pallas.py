@@ -406,6 +406,141 @@ def _apply_dot_pan(u, deltas, tiles):
     return out, jnp.sum(parts)
 
 
+def _part00(part_ref, val):
+    """Place a block-scalar into slot [0, 0] of an (8, 128) partials tile
+    (in-kernel .at[].set lowers to an unsupported scatter)."""
+    ii = jax.lax.broadcasted_iota(jnp.int32, part_ref.shape, 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, part_ref.shape, 1)
+    part_ref[:] = jnp.where((ii == 0) & (jj == 0), val,
+                            0.0).astype(part_ref.dtype)
+
+
+def _pupd_lapl_dot_kernel_fy(sc, vm_, vc, vp_, pm_, pc_, pp_,
+                             pnew_ref, out_ref, part_ref, *, invs):
+    """Fused CG search-direction update + matvec + partial dot (full-y
+    scheme): p' = (v - zshift) + beta*p formed in-VMEM on the
+    halo-extended slab, then Ap' and the <p', Ap'> partial in the same
+    pass — the separate 3-stream p-update pass disappears (its read of v
+    and p ride the matvec's own halo-extended fetches)."""
+    beta = sc[0]
+    zs = sc[1]
+    pe_m = (vm_[:] - zs) + beta * pm_[:]
+    pe_c = (vc[:] - zs) + beta * pc_[:]
+    pe_p = (vp_[:] - zs) + beta * pp_[:]
+    pnew_ref[:] = pe_c
+    # _star_into slices its operands with [:], which arrays also support
+    _star_into(out_ref, pe_c, invs, pe_m, pe_p)
+    _part00(part_ref, jnp.sum(pe_c * out_ref[:]))
+
+
+@functools.partial(jax.jit, static_argnames=("deltas", "tiles"))
+def _pupd_dot(v, p, sc, deltas, tiles):
+    nx, ny, nz = v.shape
+    tx, ty = tiles
+    gi, gj = nx // tx, ny // ty
+    invs = tuple(1.0 / float(d) ** 2 for d in deltas)
+    vm = pltpu.VMEM
+    blk = pl.BlockSpec((tx, ty, nz), lambda i, j: (i, j, 0), memory_space=vm)
+    xplane = lambda off: pl.BlockSpec(
+        (1, ty, nz), lambda i, j: ((i * tx + off) % nx, j, 0),
+        memory_space=vm)
+    pnew, out, parts = pl.pallas_call(
+        functools.partial(_pupd_lapl_dot_kernel_fy, invs=invs),
+        out_shape=(jax.ShapeDtypeStruct(v.shape, v.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype),
+                   jax.ShapeDtypeStruct((gi * 8, gj * 128), v.dtype)),
+        grid=(gi, gj),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  xplane(-1), blk, xplane(tx),
+                  xplane(-1), blk, xplane(tx)],
+        out_specs=(blk, blk, pl.BlockSpec((8, 128), lambda i, j: (i, j),
+                                          memory_space=vm)),
+        cost_estimate=pl.CostEstimate(
+            flops=17 * v.size, bytes_accessed=4 * v.size * v.dtype.itemsize,
+            transcendentals=0),
+        interpret=jax.default_backend() != "tpu",
+    )(sc, v, v, v, p, p, p)
+    return pnew, out, jnp.sum(parts)
+
+
+def _pupd_lapl_dot_kernel_pan(sc, vxm, vym, vc, vyp, vxp,
+                              pxm, pym, pc_, pyp, pxp,
+                              pnew_ref, out_ref, part_ref, *, invs):
+    """Paneled-scheme variant (y tiled with 8-row halo slabs)."""
+    beta = sc[0]
+    zs = sc[1]
+    upd = lambda a, b_: (a[:] - zs) + beta * b_[:]
+    pe_c = upd(vc, pc_)
+    pnew_ref[:] = pe_c
+    _star_into(out_ref, pe_c, invs, upd(vxm, pxm), upd(vxp, pxp),
+               upd(vym, pym), upd(vyp, pyp))
+    _part00(part_ref, jnp.sum(pe_c * out_ref[:]))
+
+
+@functools.partial(jax.jit, static_argnames=("deltas", "tiles"))
+def _pupd_dot_pan(v, p, sc, deltas, tiles):
+    nx, ny, nz = v.shape
+    tx, ty = tiles
+    gi, gj = nx // tx, ny // ty
+    invs = tuple(1.0 / float(d) ** 2 for d in deltas)
+    vm = pltpu.VMEM
+    blk = pl.BlockSpec((tx, ty, nz), lambda i, j: (i, j, 0), memory_space=vm)
+    xplane = lambda off: pl.BlockSpec(
+        (1, ty, nz), lambda i, j: ((i * tx + off) % nx, j, 0),
+        memory_space=vm)
+    slab = 16 if v.dtype.itemsize < 4 else 8
+    nyb, tyb = ny // slab, ty // slab
+    ym_spec = lambda: pl.BlockSpec((tx, slab, nz),
+                                   lambda i, j: (i, (j * tyb - 1) % nyb, 0),
+                                   memory_space=vm)
+    yp_spec = lambda: pl.BlockSpec((tx, slab, nz),
+                                   lambda i, j: (i, ((j + 1) * tyb) % nyb, 0),
+                                   memory_space=vm)
+    pnew, out, parts = pl.pallas_call(
+        functools.partial(_pupd_lapl_dot_kernel_pan, invs=invs),
+        out_shape=(jax.ShapeDtypeStruct(v.shape, v.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype),
+                   jax.ShapeDtypeStruct((gi * 8, gj * 128), v.dtype)),
+        grid=(gi, gj),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  xplane(-1), ym_spec(), blk, yp_spec(), xplane(tx),
+                  xplane(-1), ym_spec(), blk, yp_spec(), xplane(tx)],
+        out_specs=(blk, blk, pl.BlockSpec((8, 128), lambda i, j: (i, j),
+                                          memory_space=vm)),
+        cost_estimate=pl.CostEstimate(
+            flops=17 * v.size, bytes_accessed=4 * v.size * v.dtype.itemsize,
+            transcendentals=0),
+        **_scoped_vmem(
+            [blk, blk, blk], [blk, blk], v.dtype.itemsize),
+        interpret=jax.default_backend() != "tpu",
+    )(sc, v, v, v, v, v, p, p, p, p, p)
+    return pnew, out, jnp.sum(parts)
+
+
+def pupdate_lapl_dot_pallas(v: jax.Array, p_old: jax.Array, beta, zshift,
+                            deltas: Sequence[float]):
+    """(p', A p', <p', A p'>) where p' = (v - zshift) + beta * p_old —
+    the CG search-direction update fused into the matvec+dot kernel.
+
+    Saves the separate 3-stream p-update pass of every CG iteration: the
+    reads of v and p_old ride the stencil kernel's own halo-extended
+    fetches. Single-device only (the sharded path patches faces after the
+    kernel, which would need p' materialized first).
+    """
+    tiles = _pick_tiles(v)
+    d = tuple(float(x) for x in deltas)
+    dt = v.dtype
+    sc = jnp.stack([jnp.asarray(beta, dt), jnp.asarray(zshift, dt)])
+    if tiles[1] != v.shape[1]:
+        slab = 16 if dt.itemsize < 4 else 8
+        if tiles[1] % slab:
+            pn = (v - jnp.asarray(zshift, dt)) + jnp.asarray(beta, dt) * p_old
+            out, dot = apply_laplacian_dot_pallas(pn, d)
+            return pn, out, dot
+        return _pupd_dot_pan(v, p_old, sc, d, tiles)
+    return _pupd_dot(v, p_old, sc, d, tiles)
+
+
 def _cg_update_kernel(al_ref, x_ref, p_ref, r_ref, ap_ref,
                       xo_ref, ro_ref, rr_ref, sr_ref):
     """Fused CG iterate update: x' = x + alpha*p, r' = r - alpha*Ap, with

@@ -47,11 +47,15 @@ def emit_monitor(k: Array, rnorm: Array) -> None:
 class _CGState(NamedTuple):
     x: Array
     r: Array
-    p: Array
+    p: Array         # search direction (deferred-update path: the
+    #                  PREVIOUS direction; this iteration's p is formed
+    #                  inside the fused matvec kernel from v/bz)
     rz: Array        # <r, z> for the current residual
     resnorm: Array   # ||r||_2
     k: Array         # iteration counter
     hist: Array      # residual-norm history
+    v: tuple | Array = ()   # deferred p-update: raw preconditioned resid
+    bz: tuple | Array = ()  # deferred p-update: stacked (beta, zshift)
 
 
 def _dot(a: Array, b: Array) -> Array:
@@ -174,13 +178,24 @@ def cg(
     # projector (v is post-projected) or flexible CG (needs <A p, v> too).
     apply_dots = (getattr(M, "apply_dots", None)
                   if not explicit_proj and not flexible else None)
+    # deferred search-direction update: p' = (v - zshift) + beta*p forms
+    # INSIDE the next iteration's fused matvec kernel (its reads of v and
+    # p ride the stencil's halo-extended fetches) — the separate 3-stream
+    # p-update pass disappears. The state then carries (v, (beta, zshift))
+    # instead of eagerly materializing p'.
+    defer_p = (getattr(A, "pupdate_apply_dot", None) is not None
+               and b.ndim == 3)
 
     def body(s: _CGState) -> _CGState:
-        if A.apply_dot is not None:
-            Ap, pAp = A.apply_dot(s.p)
+        if defer_p:
+            p, Ap, pAp = A.pupdate_apply_dot(s.v, s.p, s.bz[0], s.bz[1])
+        elif A.apply_dot is not None:
+            p = s.p
+            Ap, pAp = A.apply_dot(p)
         else:
-            Ap = A(s.p)
-            pAp = _dot(s.p, Ap)
+            p = s.p
+            Ap = A(p)
+            pAp = _dot(p, Ap)
         # breakdown guard: pAp (or rz) vanishes when the residual has
         # collapsed to rounding noise of the projected null space — stop
         # cleanly with the current iterate instead of dividing 0/0
@@ -189,9 +204,9 @@ def cg(
         ok = (pAp != 0.0) & (s.rz != 0.0)
         alpha = jnp.where(ok, s.rz / jnp.where(ok, pAp, 1.0), 0.0)
         if fuse_upd:
-            x, r, rr_k, sr_k = A.fused_update(alpha, s.x, s.p, s.r, Ap)
+            x, r, rr_k, sr_k = A.fused_update(alpha, s.x, p, s.r, Ap)
         else:
-            x = s.x + alpha * s.p
+            x = s.x + alpha * p
             r = s.r - alpha * Ap
             rr_k = sr_k = None
         if apply_dots is not None:
@@ -228,7 +243,6 @@ def cg(
         else:
             numer = rz_new
         beta = jnp.where(ok, numer / jnp.where(ok, s.rz, 1.0), 0.0)
-        p = (v - zshift) + beta * s.p
         norm = (jnp.sqrt(jnp.abs(rz_new)) if natural
                 else jnp.sqrt(rr))
         resnorm = jnp.where(ok, norm, jnp.zeros_like(s.resnorm))
@@ -236,9 +250,22 @@ def cg(
         hist = s.hist.at[k].set(resnorm)
         if monitor:
             emit_monitor(k, resnorm)
-        return _CGState(x, r, p, rz_new, resnorm, k, hist)
+        if defer_p:
+            # p' forms inside next iteration's fused matvec; carry its
+            # ingredients instead of materializing it now
+            bz = jnp.stack([beta.astype(b.dtype),
+                            jnp.asarray(zshift, b.dtype)])
+            return _CGState(x, r, p, rz_new, resnorm, k, hist, v=v, bz=bz)
+        p_next = (v - zshift) + beta * p
+        return _CGState(x, r, p_next, rz_new, resnorm, k, hist)
 
-    init = _CGState(x, r, p, rz, rnorm0, jnp.int32(0), hist)
+    if defer_p:
+        zero2 = jnp.zeros((2,), b.dtype)
+        # first direction: p0 = (z - 0) + 0 * 0 = z, formed in-kernel
+        init = _CGState(x, r, jnp.zeros_like(b), rz, rnorm0, jnp.int32(0),
+                        hist, v=z, bz=zero2)
+    else:
+        init = _CGState(x, r, p, rz, rnorm0, jnp.int32(0), hist)
     final = lax.while_loop(cond, body, init)
 
     reason = classify(final.resnorm, final.k, bnorm, rtol_, atol_, max_it)

@@ -179,10 +179,17 @@ def solve(
     Prints `-ksp_monitor` / `-ksp_converged_reason` style output when those
     flags are set (reference README.md:48-49).
     """
+    db = opts if isinstance(opts, Options) else None
     if isinstance(opts, Options):
         opts = SolverOptions.from_options(opts)
     opts = opts or SolverOptions()
     result = make_solver(A, opts, shape, deltas, b.dtype, grid=grid)(b, x0)
+    if db is not None and (db.get_bool("options_left")
+                           or db.get_bool("options_error_if_unused")):
+        # `-options_left` semantics: after solver assembly, complain about
+        # set-but-unconsumed options (PETSc prints this at finalize;
+        # reference src/poissbox.f90:295 wires everything through the DB)
+        db.check_unused()
     if opts.ksp_monitor and opts.ksp_type not in ("cg", "fcg", "pipecg"):
         # cg/fcg/pipecg stream live from inside the jitted loop
         # (solvers.cg.emit_monitor); post-hoc lines cover the rest

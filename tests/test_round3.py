@@ -59,6 +59,18 @@ class TestOptionsLeft:
         with pytest.raises(ValueError, match="bogus_flag"):
             opts.check_unused()
 
+    def test_ksp_solve_options_left(self):
+        # `solve()` with `-options_left` warns about the unconsumed typo
+        grid = Grid3D((8, 8, 8))
+        A = make_laplacian_operator(grid)
+        b = A(A.project(jax.random.normal(jax.random.PRNGKey(2), grid.n,
+                                          jnp.float64)))
+        opts = Options(["-ksp_type", "cg", "-pc_type", "jacobi",
+                        "-ksp_rtol", "1e-6", "-mg_cylce", "w",
+                        "-options_left"])
+        with pytest.warns(UserWarning, match="mg_cylce"):
+            solve(A, b, opts, shape=grid.n, deltas=grid.deltas)
+
     def test_demo_errors_on_typo(self):
         # jacobi keeps the run cheap — the options-left check fires either
         # way, after the solve completes
@@ -361,6 +373,71 @@ class TestFusedCouplingDots:
                                    rtol=1e-11)
         np.testing.assert_allclose(float(sv), float(jnp.sum(x0)),
                                    rtol=1e-8, atol=1e-10)
+
+
+class TestDeferredPUpdate:
+    """cg's deferred search-direction path: p' = (v - zshift) + beta*p
+    forms inside the fused matvec kernel (pupdate_lapl_dot_pallas).
+    Measured slower than the eager pass on the 7-point stack (doubled
+    halo fetches — see ops/stencil.py), so it is NOT bound by default;
+    the capability stays correct and tested."""
+
+    def _op(self, n=16):
+        import dataclasses
+        from poissbox_tpu.ops.stencil_pallas import pupdate_lapl_dot_pallas
+        grid = Grid3D((n, n, n))
+        A = make_laplacian_operator(grid, impl="pallas")
+        deltas = grid.deltas
+        A = dataclasses.replace(
+            A, pupdate_apply_dot=lambda v, p, beta, zs:
+            pupdate_lapl_dot_pallas(v, p, beta, zs, deltas))
+        return grid, A
+
+    def test_kernel_matches_eager(self):
+        from poissbox_tpu.ops.stencil_pallas import (
+            apply_laplacian_pallas,
+            pupdate_lapl_dot_pallas,
+        )
+        n = 16
+        d = (1.0 / n,) * 3
+        v = jax.random.normal(jax.random.PRNGKey(0), (n, n, n), jnp.float64)
+        p = jax.random.normal(jax.random.PRNGKey(1), (n, n, n), jnp.float64)
+        pn, ap, pap = pupdate_lapl_dot_pallas(v, p, 0.73, 0.031, d)
+        pn0 = (v - 0.031) + 0.73 * p
+        ap0 = apply_laplacian_pallas(pn0, d)
+        np.testing.assert_allclose(np.asarray(pn), np.asarray(pn0),
+                                   rtol=1e-13, atol=1e-14)
+        np.testing.assert_allclose(np.asarray(ap), np.asarray(ap0),
+                                   rtol=1e-12, atol=1e-8)
+        np.testing.assert_allclose(float(pap), float(jnp.sum(pn0 * ap0)),
+                                   rtol=1e-11)
+
+    def test_cg_deferred_matches_eager(self):
+        from poissbox_tpu.solvers.cg import cg
+        grid, A = self._op()
+        A0 = make_laplacian_operator(grid, impl="roll")
+        x_ex = A0.project(jax.random.normal(jax.random.PRNGKey(2), grid.n,
+                                            jnp.float64))
+        b = A0(x_ex)
+        res = jax.jit(lambda bb: cg(A, bb, rtol=1e-10, max_it=400))(b)
+        res0 = jax.jit(lambda bb: cg(A0, bb, rtol=1e-10, max_it=400))(b)
+        assert bool(res.converged)
+        assert abs(int(res.iterations) - int(res0.iterations)) <= 1
+        np.testing.assert_allclose(np.asarray(res.x), np.asarray(res0.x),
+                                   rtol=1e-7, atol=1e-10)
+
+    def test_cg_deferred_preconditioned(self):
+        from poissbox_tpu.solvers.cg import cg
+        from poissbox_tpu.solvers.mg import MGConfig, make_mg_preconditioner
+        grid, A = self._op()
+        M = make_mg_preconditioner(grid.n, grid.deltas, MGConfig())
+        x_ex = A.project(jax.random.normal(jax.random.PRNGKey(3), grid.n,
+                                           jnp.float64))
+        b = A(x_ex)
+        res = jax.jit(lambda bb: cg(A, bb, M=M, rtol=1e-10, max_it=50))(b)
+        assert bool(res.converged)
+        np.testing.assert_allclose(np.asarray(res.x), np.asarray(x_ex),
+                                   rtol=1e-6, atol=1e-9)
 
 
 class TestLiveMonitor:
