@@ -426,15 +426,18 @@ class TestFusedTransferKernels:
 
 class TestAutoSweeps:
     """pre/post_smooth=-1 (the default) resolves against the fine-grid
-    size: 3+3 up to 256^3-class, 2+2 at 512^3-class (measured end-to-end
-    optima on v5e); explicit values pass through untouched."""
+    size: 3+3 below 256^3-class, 2+2 at 256^3-class, 1+1 at 512^3-class
+    (measured end-to-end optima on v5e with the fused coupling dots);
+    explicit values pass through untouched."""
 
     def test_resolution(self):
         from poissbox_tpu.solvers.mg import MGConfig, _resolve_sweeps
         small = _resolve_sweeps(MGConfig(), (64, 64, 64))
         assert (small.pre_smooth, small.post_smooth) == (3, 3)
+        mid = _resolve_sweeps(MGConfig(), (256, 256, 256))
+        assert (mid.pre_smooth, mid.post_smooth) == (2, 2)
         large = _resolve_sweeps(MGConfig(), (512, 512, 512))
-        assert (large.pre_smooth, large.post_smooth) == (2, 2)
+        assert (large.pre_smooth, large.post_smooth) == (1, 1)
         explicit = _resolve_sweeps(MGConfig(pre_smooth=1, post_smooth=4),
                                    (512, 512, 512))
         assert (explicit.pre_smooth, explicit.post_smooth) == (1, 4)
