@@ -172,7 +172,7 @@ def _upd_sor(out_ref, cur, extras, kw):
 
 
 def _sor_rb_kernel(prev2_ref, cur_ref, next2_ref, bp_ref, b_ref, bn_ref,
-                   out_ref, *, invs, winv_diag, colors, tile_x):
+                   out_ref, *part_refs, invs, winv_diag, colors, tile_x):
     """Both red-black colors in ONE pass via the wide-halo trick (x-slab
     scheme, full (y, z) planes): the block carries 2 x-halo planes per
     side, the first color is updated on the extended region (T+2 planes,
@@ -197,6 +197,11 @@ def _sor_rb_kernel(prev2_ref, cur_ref, next2_ref, bp_ref, b_ref, bn_ref,
 
     # second color on the interior T planes
     out_ref[:] = _rb_halfstep(x1, b_ref[:], (dt(winv_diag) - w1)[1:-1], invs)
+    if part_refs:
+        # coupling-reduction partials <x_out, b>, sum(x_out) per block —
+        # the dots variant (used as the V-cycle's final post-smooth)
+        _part00(part_refs[0], jnp.sum(out_ref[:] * b_ref[:]))
+        _part00(part_refs[1], jnp.sum(out_ref[:]))
 
 
 # ---------------------------------------------------------------------------
@@ -702,9 +707,12 @@ def sor_rb_zero_sweep_pallas(b: jax.Array, deltas: Sequence[float],
 
 
 @functools.partial(jax.jit, static_argnames=("deltas", "tile_x", "weight",
-                                             "reverse"))
-def _sor_rb(u, b, deltas, weight, reverse, tile_x):
-    """One full red-black sweep (both colors) in a single kernel pass."""
+                                             "reverse", "dots"))
+def _sor_rb(u, b, deltas, weight, reverse, tile_x, dots=False):
+    """One full red-black sweep (both colors) in a single kernel pass.
+    `dots=True` adds the (<x_out, b>, sum(x_out)) coupling reductions as
+    per-block partials computed in the same pass (the V-cycle's final
+    post-smooth feeds CG's <r, M r> / sum(M r) without another read)."""
     nx, ny, nz = u.shape
     invs = tuple(1.0 / float(d) ** 2 for d in deltas)
     winv = weight / (-2.0 * sum(invs))
@@ -714,33 +722,44 @@ def _sor_rb(u, b, deltas, weight, reverse, tile_x):
     vm = pltpu.VMEM
     half = tile_x // 2
     nxb = nx // 2  # block-index space for 2-plane blocks
-    return pl.pallas_call(
+    gi = nx // tile_x
+    blk = pl.BlockSpec((tile_x, ny, nz), lambda i: (i, 0, 0),
+                       memory_space=vm)
+    out_shape = jax.ShapeDtypeStruct(u.shape, u.dtype)
+    out_specs = blk
+    if dots:
+        part = pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=vm)
+        pshape = jax.ShapeDtypeStruct((gi * 8, 128), u.dtype)
+        out_shape = (out_shape, pshape, pshape)
+        out_specs = (out_specs, part, part)
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
-        grid=(nx // tile_x,),
+        out_shape=out_shape,
+        grid=(gi,),
         in_specs=[
             # x, with two halo planes each side (2-plane block units)
             pl.BlockSpec((2, ny, nz), lambda i: ((i * half - 1) % nxb, 0, 0),
                          memory_space=vm),
-            pl.BlockSpec((tile_x, ny, nz), lambda i: (i, 0, 0),
-                         memory_space=vm),
+            blk,
             pl.BlockSpec((2, ny, nz), lambda i: (((i + 1) * half) % nxb, 0, 0),
                          memory_space=vm),
             # b, with one halo plane each side
             pl.BlockSpec((1, ny, nz), lambda i: ((i * tile_x - 1) % nx, 0, 0),
                          memory_space=vm),
-            pl.BlockSpec((tile_x, ny, nz), lambda i: (i, 0, 0),
-                         memory_space=vm),
+            blk,
             pl.BlockSpec((1, ny, nz), lambda i: ((i * tile_x + tile_x) % nx, 0, 0),
                          memory_space=vm),
         ],
-        out_specs=pl.BlockSpec((tile_x, ny, nz), lambda i: (i, 0, 0),
-                               memory_space=vm),
+        out_specs=out_specs,
         cost_estimate=pl.CostEstimate(
             flops=20 * u.size, bytes_accessed=3 * u.size * u.dtype.itemsize,
             transcendentals=0),
         interpret=jax.default_backend() != "tpu",
     )(u, u, u, b, b, b)
+    if dots:
+        x, rvp, svp = out
+        return x, jnp.sum(rvp), jnp.sum(svp)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -944,29 +963,32 @@ def sor_rb_multisweep_pallas(u: jax.Array, b: jax.Array,
         if inplace:
             out = stencil_inplace.sor_rb_sweep_inplace(
                 u, b, deltas, weight, reverse, dots=dots and last)
-            u = out[0] if (dots and last) else out
-            if dots and last:
-                return out
         else:
-            u = sor_rb_sweep_pallas(u, b, deltas, weight, reverse)
+            out = sor_rb_sweep_pallas(u, b, deltas, weight, reverse,
+                                      dots=dots and last)
+        if dots and last:
+            return out
+        u = out
     if dots:
+        # nsweeps == 0 degenerate case only
         return u, jnp.sum(u * b), jnp.sum(u)
     return u
 
 
 def sor_rb_sweep_pallas(u: jax.Array, b: jax.Array, deltas: Sequence[float],
                         weight: float, reverse: bool = False,
-                        tile_x: int = 8) -> jax.Array:
+                        tile_x: int = 8, dots: bool = False):
     """One complete red-black SOR sweep (both colors, reversed order when
     `reverse`) as a single wide-halo kernel pass — ~half the HBM traffic of
     two color updates. Requires full (y, z) planes in VMEM and an even
     slab; falls back to two color kernels on large-plane grids. Grids too
     large for VMEM residency take the in-place aliased kernel
-    (ops.stencil_inplace)."""
+    (ops.stencil_inplace). `dots=True` also returns the in-kernel
+    (<x_out, b>, sum(x_out)) coupling reductions."""
     from poissbox_tpu.ops import stencil_inplace
     if stencil_inplace.available(u.shape, u.dtype):
         return stencil_inplace.sor_rb_sweep_inplace(u, b, deltas, weight,
-                                                    reverse)
+                                                    reverse, dots=dots)
     nx, ny, nz = u.shape
     plane = ny * nz * u.dtype.itemsize
     t = tile_x
@@ -976,6 +998,7 @@ def sor_rb_sweep_pallas(u: jax.Array, b: jax.Array, deltas: Sequence[float],
     if t < 2:
         first, second = (1, 0) if reverse else (0, 1)
         u = sor_sweep_pallas(u, b, deltas, weight, first, tile_x)
-        return sor_sweep_pallas(u, b, deltas, weight, second, tile_x)
+        x = sor_sweep_pallas(u, b, deltas, weight, second, tile_x)
+        return (x, jnp.sum(x * b), jnp.sum(x)) if dots else x
     return _sor_rb(u, b, tuple(float(d) for d in deltas), float(weight),
-                   bool(reverse), t)
+                   bool(reverse), t, dots=dots)
