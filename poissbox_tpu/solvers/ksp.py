@@ -183,7 +183,30 @@ def solve(
     if isinstance(opts, Options):
         opts = SolverOptions.from_options(opts)
     opts = opts or SolverOptions()
-    result = make_solver(A, opts, shape, deltas, b.dtype, grid=grid)(b, x0)
+    log_view = db is not None and db.get_bool("log_view")
+    import time as _time
+    t_setup0 = _time.perf_counter()
+    solver = make_solver(A, opts, shape, deltas, b.dtype, grid=grid)
+    t_setup = _time.perf_counter() - t_setup0
+    t0 = _time.perf_counter()
+    result = solver(b, x0)
+    jax.block_until_ready(result.x)
+    t_solve = _time.perf_counter() - t0
+    if log_view:
+        # `-log_view` analogue (PETSc's per-stage summary; the reference
+        # recommends it for performance work, reference README.md:48-49):
+        # setup (preconditioner build) vs solve wall, iteration rate, and
+        # throughput. Wall-clock including compile on first call — rerun
+        # for the warm number, or use utils.profiling.solve_time for
+        # differenced device-side timing.
+        it = max(int(result.iterations), 1)
+        ndof = b.size
+        print("log_view: stage        time")
+        print(f"log_view:   setup      {t_setup:10.4f} s")
+        print(f"log_view:   solve      {t_solve:10.4f} s  "
+              f"({int(result.iterations)} iterations, "
+              f"{t_solve / it * 1e3:.3f} ms/it, "
+              f"{ndof * it / max(t_solve, 1e-12) / 1e9:.2f} GDoF/s)")
     if db is not None and (db.get_bool("options_left")
                            or db.get_bool("options_error_if_unused")):
         # `-options_left` semantics: after solver assembly, complain about

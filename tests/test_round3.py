@@ -71,6 +71,18 @@ class TestOptionsLeft:
         with pytest.warns(UserWarning, match="mg_cylce"):
             solve(A, b, opts, shape=grid.n, deltas=grid.deltas)
 
+    def test_log_view(self, capsys):
+        grid = Grid3D((8, 8, 8))
+        A = make_laplacian_operator(grid)
+        b = A(A.project(jax.random.normal(jax.random.PRNGKey(4), grid.n,
+                                          jnp.float64)))
+        solve(A, b, Options(["-ksp_type", "cg", "-pc_type", "jacobi",
+                             "-ksp_rtol", "1e-6", "-log_view"]),
+              shape=grid.n, deltas=grid.deltas)
+        out = capsys.readouterr().out
+        assert "log_view:   setup" in out and "log_view:   solve" in out
+        assert "iterations" in out
+
     def test_demo_errors_on_typo(self):
         # jacobi keeps the run cheap — the options-left check fires either
         # way, after the solve completes
