@@ -694,6 +694,89 @@ def _sor_rb_zero(b, deltas, weight, reverse, tile_x):
     )(b, b, b)
 
 
+def _sor_rb_zero_upd_kernel(sc, rp, rc, rn, app, apc, apn,
+                            bout_ref, xout_ref, rr_ref, sr_ref, *,
+                            invs, winv_diag, colors, tile_x):
+    """Zero-guess RB sweep with the CG residual update fused in: the
+    sweep's RHS b = r - alpha*Ap forms on the fly from the previous
+    residual and the matvec output (each fetched with the same 1-plane
+    halos b needed), is written out as the V-cycle's materialized RHS,
+    and the ||b||^2 / sum(b) reductions CG needs next land as per-block
+    partials — the separate r-update's read-modify-write of r and its
+    reductions disappear into this kernel's streams."""
+    a = sc[0]
+    T = rc.shape[0]
+    ny, nz = rc.shape[1], rc.shape[2]
+    i0 = pl.program_id(0) * tile_x
+    be = (jnp.concatenate([rp[:], rc[:], rn[:]], axis=0)
+          - a * jnp.concatenate([app[:], apc[:], apn[:]], axis=0))
+    bc = be[1:-1]
+    bout_ref[:] = bc
+    par = _parity((T + 2, ny, nz), i0 - 1, 0)
+    dt = be.dtype.type
+    w1 = jnp.where(par == colors[0], dt(winv_diag), dt(0.0))
+    x1 = w1 * be
+    xout_ref[:] = _rb_halfstep(x1, bc, (dt(winv_diag) - w1)[1:-1], invs)
+    _part00(rr_ref, jnp.sum(bc * bc))
+    _part00(sr_ref, jnp.sum(bc))
+
+
+@functools.partial(jax.jit, static_argnames=("deltas", "tile_x", "weight",
+                                             "reverse"))
+def _sor_rb_zero_upd(r, ap, sc, deltas, weight, reverse, tile_x):
+    shape, dtype = r.shape, r.dtype
+    nx, ny, nz = shape
+    invs = tuple(1.0 / float(d) ** 2 for d in deltas)
+    winv = weight / (-2.0 * sum(invs))
+    colors = (1, 0) if reverse else (0, 1)
+    kernel = functools.partial(_sor_rb_zero_upd_kernel, invs=invs,
+                               winv_diag=winv, colors=colors, tile_x=tile_x)
+    vm = pltpu.VMEM
+    gi = nx // tile_x
+    halo_m = pl.BlockSpec((1, ny, nz), lambda i: ((i * tile_x - 1) % nx, 0, 0),
+                          memory_space=vm)
+    blk = pl.BlockSpec((tile_x, ny, nz), lambda i: (i, 0, 0),
+                       memory_space=vm)
+    halo_p = pl.BlockSpec((1, ny, nz),
+                          lambda i: ((i * tile_x + tile_x) % nx, 0, 0),
+                          memory_space=vm)
+    part = pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=vm)
+    pshape = jax.ShapeDtypeStruct((gi * 8, 128), dtype)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                halo_m, blk, halo_p, halo_m, blk, halo_p]
+    out_specs = (blk, blk, part, part)
+    b_new, x1, rrp, srp = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct(shape, dtype),
+                   jax.ShapeDtypeStruct(shape, dtype), pshape, pshape),
+        grid=(gi,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        **_scoped_vmem(in_specs[1:], [blk, blk], jnp.dtype(dtype).itemsize,
+                       factor=22.0, est_factor=4.0),
+        cost_estimate=pl.CostEstimate(
+            flops=16 * r.size,
+            bytes_accessed=4 * r.size * jnp.dtype(dtype).itemsize,
+            transcendentals=0),
+        interpret=jax.default_backend() != "tpu",
+    )(sc, r, r, r, ap, ap, ap)
+    return b_new, x1, jnp.sum(rrp), jnp.sum(srp)
+
+
+def sor_rb_zero_update_pallas(r: jax.Array, ap: jax.Array, alpha,
+                              deltas: Sequence[float], weight: float,
+                              reverse: bool = False, tile_x: int = 8):
+    """(b, x1, ||b||^2, sum(b)) where b = r - alpha*Ap and x1 is the
+    zero-guess RB sweep for A x = b — CG's residual update fused into the
+    V-cycle's first kernel."""
+    tx = tile_x
+    while tx > 1 and r.shape[0] % tx:
+        tx //= 2
+    sc = jnp.reshape(jnp.asarray(alpha, r.dtype), (1,))
+    return _sor_rb_zero_upd(r, ap, sc, tuple(float(d) for d in deltas),
+                            float(weight), bool(reverse), tx)
+
+
 def sor_rb_zero_sweep_pallas(b: jax.Array, deltas: Sequence[float],
                              weight: float, reverse: bool = False,
                              tile_x: int = 8) -> jax.Array:

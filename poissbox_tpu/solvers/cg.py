@@ -178,6 +178,13 @@ def cg(
     # projector (v is post-projected) or flexible CG (needs <A p, v> too).
     apply_dots = (getattr(M, "apply_dots", None)
                   if not explicit_proj and not flexible else None)
+    # full M-side fusion: the r-update r' = r - alpha*Ap, its reductions,
+    # AND the coupling dots all ride the V-cycle's own kernel streams
+    # (make_mg_preconditioner.apply_update_dots); x updates separately as
+    # one XLA fusion. Supersedes fused_update + apply_dots when present.
+    apply_upd_dots = (getattr(M, "apply_update_dots", None)
+                      if not explicit_proj and not flexible
+                      and b.ndim == 3 else None)
     # deferred search-direction update: p' = (v - zshift) + beta*p forms
     # INSIDE the next iteration's fused matvec kernel (its reads of v and
     # p ride the stencil's halo-extended fetches) — the separate 3-stream
@@ -203,13 +210,20 @@ def cg(
         # already converged to working precision, so report that)
         ok = (pAp != 0.0) & (s.rz != 0.0)
         alpha = jnp.where(ok, s.rz / jnp.where(ok, pAp, 1.0), 0.0)
-        if fuse_upd:
+        if apply_upd_dots is not None:
+            x = s.x + alpha * p  # one XLA fusion pass
+            v, r, rr_k, sr_k, rv, sv = apply_upd_dots(s.r, Ap, alpha)
+            sr = sr_k
+            rr = None if natural else rr_k
+        elif fuse_upd:
             x, r, rr_k, sr_k = A.fused_update(alpha, s.x, p, s.r, Ap)
         else:
             x = s.x + alpha * p
             r = s.r - alpha * Ap
             rr_k = sr_k = None
-        if apply_dots is not None:
+        if apply_upd_dots is not None:
+            pass  # v, rv, sv, sr, rr already set above
+        elif apply_dots is not None:
             v, rv, sv = apply_dots(r)
             sr = sr_k if fuse_upd else jnp.sum(r)
             rr = (None if natural

@@ -556,6 +556,17 @@ def v_cycle(levels: Sequence[_Level], coarse_pinv: Array, cfg: MGConfig,
                     reverse=False).astype(b.dtype)
     else:
         x = _smooth(None, b, lvl, cfg, cfg.pre_smooth, reverse=False)
+    return _v_cycle_rest(levels, coarse_pinv, cfg, x, b, idx, dots)
+
+
+def _v_cycle_rest(levels: Sequence[_Level], coarse_pinv: Array,
+                  cfg: MGConfig, x: Array, b: Array, idx: int,
+                  dots: bool = False):
+    """The cycle below/after the pre-smooth: residual, restrict, child
+    correction, prolong, post-smooth. Split out so the fused
+    r-update-in-pre-smooth entry (`make_mg_preconditioner.apply_update_dots`)
+    can reuse it verbatim."""
+    lvl = levels[idx]
     tr = cfg.transfers
     if tr == "auto":
         tr = "matmul" if jax.devices()[0].platform == "tpu" else "roll"
@@ -645,4 +656,32 @@ def make_mg_preconditioner(
         def apply_dots(r: Array):
             return v_cycle(levels, pinv, cfg, r, dots=True)
         M.apply_dots = apply_dots
+
+        lvl0 = levels[0]
+        if (cfg.smoother == "sor" and cfg.pre_smooth >= 1
+                and not cfg.pre_dtype and lvl0.grid is None
+                and _use_pallas(lvl0, cfg)):
+            # CG's residual update fused into the cycle's FIRST kernel:
+            # apply_update_dots(r, Ap, alpha) applies the cycle to
+            # b = r - alpha*Ap formed inside the zero-guess pre-smooth,
+            # returning (v, b, ||b||^2, sum(b), <b, v>, sum(v)) — the
+            # iterate-update read-modify-write of r and both reduction
+            # passes ride the smoother kernels' own streams.
+            w = 1.0 if cfg.damping is None else cfg.damping
+
+            def apply_update_dots(r: Array, ap: Array, alpha):
+                from poissbox_tpu.ops.stencil_pallas import (
+                    sor_rb_multisweep_pallas,
+                    sor_rb_zero_update_pallas,
+                )
+                b_new, x, rr, sr = sor_rb_zero_update_pallas(
+                    r, ap, alpha, lvl0.deltas, w)
+                if cfg.pre_smooth > 1:
+                    x = sor_rb_multisweep_pallas(
+                        x, b_new, lvl0.deltas, w, cfg.pre_smooth - 1,
+                        reverse=False)
+                v, rv, sv = _v_cycle_rest(levels, pinv, cfg, x, b_new, 0,
+                                          dots=True)
+                return v, b_new, rr, sr, rv, sv
+            M.apply_update_dots = apply_update_dots
     return M

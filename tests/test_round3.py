@@ -368,6 +368,84 @@ class TestFusedCouplingDots:
                                     MGConfig(dtype="bfloat16"))
         assert getattr(Mb, "apply_dots", None) is None
 
+    def test_zero_update_kernel(self):
+        # b = r - alpha*Ap formed inside the zero-guess sweep kernel
+        from poissbox_tpu.ops.stencil_pallas import (
+            sor_rb_zero_sweep_pallas,
+            sor_rb_zero_update_pallas,
+        )
+        n = 32
+        d = (1.0 / n,) * 3
+        r = jax.random.normal(jax.random.PRNGKey(0), (n,) * 3, jnp.float64)
+        ap = jax.random.normal(jax.random.PRNGKey(1), (n,) * 3, jnp.float64)
+        alpha = 0.41
+        b_new, x1, rr, sr = sor_rb_zero_update_pallas(r, ap, alpha, d, 1.0)
+        b0 = r - alpha * ap
+        x0 = sor_rb_zero_sweep_pallas(b0, d, 1.0)
+        np.testing.assert_allclose(np.asarray(b_new), np.asarray(b0),
+                                   rtol=1e-13, atol=1e-14)
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x0),
+                                   rtol=1e-12, atol=1e-13)
+        np.testing.assert_allclose(float(rr), float(jnp.sum(b0 * b0)),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(float(sr), float(jnp.sum(b0)),
+                                   rtol=1e-8, atol=1e-10)
+
+    def test_apply_update_dots_matches_plain(self):
+        from poissbox_tpu.solvers.mg import MGConfig, make_mg_preconditioner
+        grid = Grid3D((32, 32, 32))
+        # impl='pallas' forces the fused-pre path in interpret mode off-TPU
+        M = make_mg_preconditioner(grid.n, grid.deltas, MGConfig(impl="pallas"))
+        assert getattr(M, "apply_update_dots", None) is not None
+        r = jax.random.normal(jax.random.PRNGKey(5), grid.n, jnp.float64)
+        ap = jax.random.normal(jax.random.PRNGKey(6), grid.n, jnp.float64)
+        alpha = 0.37
+        b0 = r - alpha * ap
+        v0 = M(b0)
+        v, b_new, rr, sr, rv, sv = jax.jit(M.apply_update_dots)(r, ap, alpha)
+        np.testing.assert_allclose(np.asarray(b_new), np.asarray(b0),
+                                   rtol=1e-13, atol=1e-14)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v0),
+                                   rtol=1e-12, atol=1e-15)
+        np.testing.assert_allclose(float(rr), float(jnp.sum(b0 * b0)),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(float(rv), float(jnp.sum(b0 * v0)),
+                                   rtol=1e-11)
+        np.testing.assert_allclose(float(sv), float(jnp.sum(v0)),
+                                   rtol=1e-8, atol=1e-12)
+
+    def test_cg_fused_m_matches(self):
+        from poissbox_tpu.solvers.cg import cg
+        from poissbox_tpu.solvers.mg import MGConfig, make_mg_preconditioner
+        grid = Grid3D((32, 32, 32))
+        A = make_laplacian_operator(grid, impl="pallas")
+        M = make_mg_preconditioner(grid.n, grid.deltas, MGConfig(impl="pallas"))
+        x_ex = A.project(jax.random.normal(jax.random.PRNGKey(7), grid.n,
+                                           jnp.float64))
+        b = A(x_ex)
+        res = jax.jit(lambda z: cg(A, z, M=M, rtol=1e-10, max_it=60))(b)
+        M_plain = lambda z: M(z)  # strips the fusion hooks
+        res0 = jax.jit(lambda z: cg(A, z, M=M_plain, rtol=1e-10,
+                                    max_it=60))(b)
+        assert bool(res.converged)
+        assert int(res.iterations) == int(res0.iterations)
+        np.testing.assert_allclose(np.asarray(res.x), np.asarray(res0.x),
+                                   rtol=1e-8, atol=1e-11)
+
+    def test_update_dots_gating(self):
+        from poissbox_tpu.solvers.mg import MGConfig, make_mg_preconditioner
+        grid = Grid3D((32, 32, 32))
+        # jacobi smoother: no fused zero+update kernel -> hook absent
+        Mj = make_mg_preconditioner(grid.n, grid.deltas,
+                                    MGConfig(impl="pallas",
+                                             smoother="jacobi"))
+        assert getattr(Mj, "apply_update_dots", None) is None
+        # pre_smooth=0: nothing to fuse into
+        M0 = make_mg_preconditioner(grid.n, grid.deltas,
+                                    MGConfig(impl="pallas", pre_smooth=0,
+                                             post_smooth=2))
+        assert getattr(M0, "apply_update_dots", None) is None
+
     def test_inplace_kernel_dots(self):
         # the fused in-place kernel path (interpret mode off-TPU)
         from poissbox_tpu.ops.stencil_inplace import _sor_rb_multi_inplace
