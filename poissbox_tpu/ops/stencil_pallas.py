@@ -272,9 +272,13 @@ def _scoped_vmem(in_specs, out_specs, itemsize: int,
     return {"compiler_params": pltpu.CompilerParams(vmem_limit_bytes=need)}
 
 
-def _launch(update, u: jax.Array, tiles, invs, extra=(), **kw):
+def _launch(update, u: jax.Array, tiles, invs, extra=(), vmem_est=2.25,
+            **kw):
     """Launch a stencil kernel over (x-slab, y-panel) blocks; full-y tiles
-    use the cheaper 3-input scheme with in-VMEM y rolls."""
+    use the cheaper 3-input scheme with in-VMEM y rolls. `vmem_est` is the
+    stack/block ratio handed to _scoped_vmem (the masked SOR update keeps
+    a parity+weight temporary pair live and measured 16.32M of stack on
+    15.x M of blocks at 320^3 panels — it passes a higher estimate)."""
     nx, ny, nz = u.shape
     tx, ty = tiles
     full_y = ty == ny
@@ -312,7 +316,8 @@ def _launch(update, u: jax.Array, tiles, invs, extra=(), **kw):
         cost_estimate=pl.CostEstimate(
             flops=9 * u.size, bytes_accessed=n_in * u.size * u.dtype.itemsize,
             transcendentals=0),
-        **_scoped_vmem(all_in, [blk()], u.dtype.itemsize),
+        **_scoped_vmem(all_in, [blk()], u.dtype.itemsize,
+                       est_factor=vmem_est),
         interpret=jax.default_backend() != "tpu",
     )(*args, *extra)
 
@@ -632,7 +637,7 @@ def _sor(u, b, deltas, weight, color, tiles):
     invs = tuple(1.0 / float(d) ** 2 for d in deltas)
     winv = weight / (-2.0 * sum(invs))
     return _launch(_upd_sor, u, tiles, invs, extra=(b,), winv_diag=winv,
-                   color=color)
+                   color=color, vmem_est=3.3)
 
 
 def _sor_rb_zero_kernel(bp_ref, b_ref, bn_ref, out_ref, *, invs, winv_diag,
@@ -769,8 +774,12 @@ def sor_rb_zero_update_pallas(r: jax.Array, ap: jax.Array, alpha,
     """(b, x1, ||b||^2, sum(b)) where b = r - alpha*Ap and x1 is the
     zero-guess RB sweep for A x = b — CG's residual update fused into the
     V-cycle's first kernel."""
+    plane = r.shape[1] * r.shape[2] * r.dtype.itemsize
     tx = tile_x
-    while tx > 1 and r.shape[0] % tx:
+    # 4 block streams of (tx+2) planes, double-buffered by the pipeline,
+    # must leave stack headroom in the 128 MB VMEM (640^3-class planes
+    # blew past it at tx=8; 512^3 keeps its measured tx=8 configuration)
+    while tx > 1 and (r.shape[0] % tx or 8 * (tx + 2) * plane > 88 * 2**20):
         tx //= 2
     sc = jnp.reshape(jnp.asarray(alpha, r.dtype), (1,))
     return _sor_rb_zero_upd(r, ap, sc, tuple(float(d) for d in deltas),
@@ -880,8 +889,14 @@ def _resid_xrestrict_kernel(up_ref, uc_ref, un_ref, bp_ref, bc_ref, bn_ref,
     ny, nz = r0.shape[1], r0.shape[2]
     pairs = r0.reshape(tc, 2, ny, nz)      # leading-dim split only
     even, odd = pairs[:, 0], pairs[:, 1]   # r_{2I}, r_{2I+1}
-    up = jnp.concatenate([even[1:], r[-1:]], axis=0)   # r_{2I+2}
-    dn = jnp.concatenate([r[:1], odd[:-1]], axis=0)    # r_{2I-1}
+    if tc > 1:
+        up = jnp.concatenate([even[1:], r[-1:]], axis=0)   # r_{2I+2}
+        dn = jnp.concatenate([r[:1], odd[:-1]], axis=0)    # r_{2I-1}
+    else:
+        # single-coarse-plane block: zero-size concat operands are
+        # rejected by Mosaic (hit at 768^3, where the VMEM budget forces
+        # tc = 1); the neighbors come entirely from the halo planes
+        up, dn = r[-1:], r[:1]
     out_ref[:] = (3.0 * (even + odd) + up + dn) * 0.125
 
 
@@ -940,8 +955,13 @@ def _xprolong_add_kernel(em_ref, ec_ref, ep_ref, u_ref, out_ref):
     the full-size prolonged array never touches HBM. Aliasing u -> out is
     safe: each block writes exactly the planes it read (no u halos)."""
     e = ec_ref[:]
-    e_m = jnp.concatenate([em_ref[:], e[:-1]], axis=0)   # e_{I-1}
-    e_p = jnp.concatenate([e[1:], ep_ref[:]], axis=0)    # e_{I+1}
+    if e.shape[0] > 1:
+        e_m = jnp.concatenate([em_ref[:], e[:-1]], axis=0)   # e_{I-1}
+        e_p = jnp.concatenate([e[1:], ep_ref[:]], axis=0)    # e_{I+1}
+    else:
+        # tc = 1 block (VMEM-forced at 768^3-class planes): zero-size
+        # concat operands are rejected by Mosaic
+        e_m, e_p = em_ref[:], ep_ref[:]
     even = 0.75 * e + 0.25 * e_m                          # fine 2I
     odd = 0.75 * e + 0.25 * e_p                           # fine 2I+1
     tc, ny, nz = e.shape

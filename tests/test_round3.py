@@ -465,6 +465,28 @@ class TestFusedCouplingDots:
                                    rtol=1e-8, atol=1e-10)
 
 
+class TestFusedLegTc1:
+    def test_single_coarse_plane_blocks(self):
+        # regression: tc=1 blocks (VMEM-forced at 768^3-class planes) hit
+        # zero-size concat operands in the fused V-cycle leg kernels
+        from poissbox_tpu.ops.stencil_pallas import (
+            _resid_xrestrict,
+            _xprolong_add,
+        )
+        n = 16
+        d = (1.0 / n,) * 3
+        u = jax.random.normal(jax.random.PRNGKey(0), (n, n, n), jnp.float64)
+        b = jax.random.normal(jax.random.PRNGKey(1), (n, n, n), jnp.float64)
+        np.testing.assert_allclose(
+            np.asarray(_resid_xrestrict(u, b, d, 1)),
+            np.asarray(_resid_xrestrict(u, b, d, 4)), rtol=1e-13, atol=1e-11)
+        e = jax.random.normal(jax.random.PRNGKey(2), (n // 2, n, n),
+                              jnp.float64)
+        np.testing.assert_allclose(
+            np.asarray(_xprolong_add(u, e, 1)),
+            np.asarray(_xprolong_add(u, e, 4)), rtol=1e-13, atol=1e-13)
+
+
 class TestDeferredPUpdate:
     """cg's deferred search-direction path: p' = (v - zshift) + beta*p
     forms inside the fused matvec kernel (pupdate_lapl_dot_pallas).
