@@ -134,12 +134,25 @@ def bench_tridiag(n: int, dtype) -> dict:
     kernel's exact access pattern: a pure elementwise read+write pass
     chained over the same buffer the same way (same size, same chaining,
     same VMEM-residency opportunity) — the fastest any 2-pass in-place
-    solve could possibly run here. That makes the fraction <= 1 by
-    construction AND meaningful at every size: a round-2 version divided
-    a same-buffer chain by the spec-sheet HBM number and reported 1.13 of
-    'a bound'; a ping-pong 'cold' variant is unfair the other way (the
-    aliased in-place kernel gets a defensive copy when both buffers stay
-    live, measured 169 GB/s at 512^3 vs 597 warm)."""
+    solve could possibly run here. A round-2 version divided a same-buffer
+    chain by the spec-sheet HBM number and reported 1.13 of 'a bound'; a
+    ping-pong 'cold' variant is unfair the other way (the aliased in-place
+    kernel gets a defensive copy when both buffers stay live, measured
+    169 GB/s at 512^3 vs 597 warm).
+
+    The measured pass is only credible while it actually streams HBM. At
+    sizes whose working set fits VMEM (<= ~300^3 f32 on v5e), XLA keeps
+    the probe's loop-carried buffer resident and the 'pass' implies
+    impossible bandwidth (5 TB/s at 256^3 — measured, bench/
+    exp_ceil_probe.py), while honest streaming through a custom-call
+    boundary tops out ~700 GB/s there. Detected by implied-BW > spec, the
+    ceiling then falls back to the spec two-pass floor and the fraction is
+    capped at 1.0 with `tridiag_ceiling_basis = 'hbm-spec-floor'`: a
+    capped 1.0 means the chained in-place kernel meets or beats the HBM
+    streaming wall outright by riding VMEM residency across solves
+    (256^3: 1070 GB/s effective vs the 819 GB/s spec). At 512^3-class
+    sizes the basis stays 'measured-pass' and the fraction is a true
+    <=1 streaming efficiency (0.90 in BENCH_512_r03.json)."""
     import jax.numpy as jnp
 
     from poissbox_tpu.ops.tridiag import TridiagFactor
@@ -161,8 +174,14 @@ def bench_tridiag(n: int, dtype) -> dict:
     # constant is exactly representable so values stay finite)
     scale = jnp.asarray(1.0000001192092896, dtype)
     t_ceil = kernel_time(lambda v: v * scale, u, lo=10, hi=40)
-    eff = 2 * u.size * u.dtype.itemsize / t / 1e9
+    two_pass_bytes = 2 * u.size * u.dtype.itemsize
+    eff = two_pass_bytes / t / 1e9
+    t_spec = two_pass_bytes / (_hbm_gbps() * 1e9)
+    basis = "measured-pass"
+    if t_ceil < t_spec:  # probe rode loop-carried VMEM residency
+        t_ceil, basis = t_spec, "hbm-spec-floor"
     return {"tridiag_ms": t * 1e3, "tridiag_ceiling_ms": t_ceil * 1e3,
+            "tridiag_ceiling_basis": basis,
             "tridiag_eff_gbps": eff,
             "tridiag_bw_frac": min(t_ceil / t, 1.0)}
 
