@@ -150,6 +150,7 @@ class SolverOptions:
     ksp_max_it: int = 10000
     ksp_monitor: bool = False
     ksp_converged_reason: bool = False
+    ksp_view: bool = False         # print the assembled solver (KSPView)
     pc_type: str = "none"          # none | jacobi | mg
     mg_levels: int = 0             # 0 = auto (coarsen to the smallest grid)
     mg_levels_ksp_type: str = "richardson"

@@ -56,15 +56,27 @@ def _make_kernel(nx, ny, nz, T, H, Hb, dtype, update, with_b, dots=False):
     halo-extended u slab (T+2H planes) and b slab (T+2Hb planes) to the T
     output planes; x0 is the absolute x index of the first written plane.
 
-    `dots=True` adds a second (8, 128) output holding, in slots [0, 0] and
-    [0, 1], the reductions <x_out, b> and sum(x_out) accumulated slab by
-    slab while everything is still VMEM-resident — the CG coupling
-    reductions <r, M r> and sum(M r) then cost no extra HBM pass."""
+    `dots` adds a second (8, 128) output holding, in slots [0, 0] and
+    [0, 1], two reductions accumulated slab by slab while everything is
+    still VMEM-resident: `"b"` (or True) gives (<x_out, b>, sum(x_out)) —
+    the CG coupling reductions <r, M r>, sum(M r) of a final post-smooth;
+    `"u"` gives (<x_out, u>, sum(x_out)) — the <A u, u> dot of a fused
+    matvec. Either way they cost no extra HBM pass.
+
+    The same pipeline serves the ALIASED in-place kernels (callers set
+    input_output_aliases={0: 0}; the lagged write-back makes that
+    race-free) and plain OUT-OF-PLACE streaming kernels (no aliasing —
+    the write gating is then merely conservative)."""
     nb = nx // T
     P = T + 2 * H
     Pb = T + 2 * Hb
 
-    def kernel(u_hbm, b_hbm, out_hbm, *dots_out):
+    def kernel(u_hbm, *rest):
+        if with_b:
+            b_hbm, out_hbm, *dots_out = rest
+        else:
+            b_hbm = None
+            out_hbm, *dots_out = rest
         def body(ub, bb, ob, wrap, sul, sub, sur, sbl, sbb, sbr, so, sw):
             # -- prologue: save the wrap planes [0, H) before any write
             w = pltpu.make_async_copy(u_hbm.at[pl.ds(0, H)], wrap, sw)
@@ -148,12 +160,13 @@ def _make_kernel(nx, ny, nz, T, H, Hb, dtype, update, with_b, dots=False):
                 be = bb[slot] if with_b else None
                 ob[slot] = update(ub[slot], be, i * T)
                 if dots:
-                    # slab contribution to the coupling reductions while
-                    # the written planes are still VMEM-resident
+                    # slab contribution to the fused reductions while the
+                    # written planes are still VMEM-resident
                     xo = ob[slot]
+                    src = (ub[slot, H:H + T] if dots == "u"
+                           else bb[slot, Hb:Hb + T])
                     rv, sv = carry
-                    carry = (rv + jnp.sum(xo * bb[slot, Hb:Hb + T]),
-                             sv + jnp.sum(xo))
+                    carry = (rv + jnp.sum(xo * src), sv + jnp.sum(xo))
                 # start the next fetch, and gate this slab's write-back on
                 # the *left-halo* DMA of slab i+1 — the only later read
                 # that overlaps [iT, iT+T)
@@ -356,6 +369,59 @@ def sor_rb_multisweep_inplace(u: jax.Array, b: jax.Array, deltas,
     blocking; see _sor_rb_multi_inplace)."""
     return _sor_rb_multi_inplace(u, b, tuple(float(d) for d in deltas),
                                  float(weight), bool(reverse), int(nsweeps))
+
+
+@functools.partial(jax.jit, static_argnames=("deltas", "dots"))
+def _lapl_stream(u, deltas, dots=False):
+    """Out-of-place 7-point Laplacian through the manual DMA pipeline.
+
+    The BlockSpec automatic pipeline tops out near ~320 GB/s nominal on
+    512^3-class out-of-place stencils (bench/exp_apply512_r4.py) while a
+    ping-pong two-stream XLA pass measures 660 GB/s (bench/exp_ledger512);
+    this kernel recovers the gap with the same explicit double-buffered
+    slab schedule as the in-place smoothers — full (y, z) planes, 1-plane
+    halos, no aliasing. `dots=True` also returns <u, A u> and sum(A u)
+    accumulated in-VMEM (the CG pAp reduction for free)."""
+    nx, ny, nz = u.shape
+    invs = tuple(1.0 / float(d) ** 2 for d in deltas)
+    T = _pick_T(nx, ny, nz, u.dtype.itemsize, 1, 0)
+
+    def update(xe, be, x0):
+        return _star(xe, invs)
+
+    kernel = _make_kernel(nx, ny, nz, T, 1, 0, u.dtype, update,
+                          with_b=False, dots="u" if dots else False)
+    out_shape = jax.ShapeDtypeStruct(u.shape, u.dtype)
+    out_specs = pl.BlockSpec(memory_space=pl.ANY)
+    if dots:
+        out_shape = (out_shape, jax.ShapeDtypeStruct((8, 128), u.dtype))
+        out_specs = (out_specs, pl.BlockSpec(memory_space=pltpu.VMEM))
+    out = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=out_specs,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=(11 if dots else 9) * u.size,
+            bytes_accessed=2 * u.size * u.dtype.itemsize,
+            transcendentals=0),
+        interpret=jax.default_backend() != "tpu",  # CPU tests
+    )(u)
+    if dots:
+        y, d = out
+        return y, d[0, 0]
+    return out
+
+
+def apply_laplacian_stream(u: jax.Array, deltas) -> jax.Array:
+    """A u via the manual-pipeline streaming kernel (512^3-class path)."""
+    return _lapl_stream(u, tuple(float(d) for d in deltas))
+
+
+def apply_laplacian_dot_stream(u: jax.Array, deltas):
+    """(A u, <u, A u>) via the manual-pipeline streaming kernel."""
+    return _lapl_stream(u, tuple(float(d) for d in deltas), dots=True)
 
 
 def available(shape, dtype) -> bool:

@@ -51,12 +51,15 @@ def gmres(
     atol: float = 1.0e-50,
     max_it: int = 1000,
     restart: int = 30,
+    monitor: bool = False,
 ) -> SolveResult:
     """Solve A x = b by left-preconditioned restarted GMRES(restart).
 
     Convergence is monitored on the preconditioned residual norm (PETSc's
     left-preconditioning default). History records one entry per inner
-    iteration.
+    iteration. `monitor=True` streams a `-ksp_monitor` line per inner
+    iteration from inside the jitted Arnoldi loop (live — the Givens
+    recurrence exposes the residual without forming the iterate).
     """
     m = int(restart)
     x = jnp.zeros_like(b) if x0 is None else x0
@@ -74,6 +77,9 @@ def gmres(
     bnorm = jnp.sqrt(jnp.sum(pb * pb))  # PETSc KSPConvergedDefault base
     hist = jnp.full((max_it + 1,), jnp.nan, dtype=b.dtype)
     hist = hist.at[0].set(rnorm0)
+    if monitor:
+        from poissbox_tpu.solvers.cg import emit_monitor
+        emit_monitor(jnp.int32(0), rnorm0)
 
     atol_ = jnp.asarray(atol, b.dtype)
     rtol_ = jnp.asarray(rtol, b.dtype)
@@ -122,6 +128,13 @@ def gmres(
         gnew = s.g.at[j].set(csj * gj).at[j + 1].set(-snj * gj)
         resnorm = jnp.abs(gnew[j + 1])
         k = s.k + 1
+        if monitor:
+            # inactive lanes (past this cycle's convergence point) repeat
+            # the last residual; emit only live steps
+            from poissbox_tpu.solvers.cg import emit_monitor
+            lax.cond(active,
+                     lambda kr: emit_monitor(kr[0], kr[1]) or 0,
+                     lambda kr: 0, (k, resnorm))
 
         updated = _CycleState(
             V=s.V.at[j + 1].set(vnext),

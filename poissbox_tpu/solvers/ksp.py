@@ -135,34 +135,83 @@ def make_solver(
     common = dict(M=M, rtol=opts.ksp_rtol, atol=opts.ksp_atol,
                   max_it=opts.ksp_max_it)
 
+    def _attach(fn):
+        # expose the built preconditioner + config for `-ksp_view`
+        fn.M = M
+        fn.opts = opts
+        fn.shape = tuple(shape) if shape is not None else None
+        return fn
+
     if opts.ksp_type in ("cg", "fcg"):
         # fcg = flexible CG (PETSc KSPFCG): Polak-Ribiere beta, robust to
         # nonstationary preconditioners (bf16 V-cycles, inner Krylov)
-        return lambda b, x0=None: cg(A, b, x0, norm_type=opts.ksp_norm_type,
+        return _attach(lambda b, x0=None: cg(A, b, x0, norm_type=opts.ksp_norm_type,
                                      flexible=opts.ksp_type == "fcg",
                                      monitor=opts.ksp_monitor,
-                                     **common)
+                                     **common))
     if opts.ksp_type == "pipecg":
         # single overlapped reduction per iteration (PETSc KSPPIPECG);
         # for meshes where psum latency dominates — see solvers/pipecg.py
         from poissbox_tpu.solvers.pipecg import pipecg
-        return lambda b, x0=None: pipecg(A, b, x0,
+        return _attach(lambda b, x0=None: pipecg(A, b, x0,
                                          norm_type=opts.ksp_norm_type,
                                          monitor=opts.ksp_monitor,
-                                         **common)
+                                         **common))
     if opts.ksp_type == "gmres":
-        return lambda b, x0=None: gmres(A, b, x0, restart=opts.gmres_restart,
-                                        **common)
+        return _attach(lambda b, x0=None: gmres(
+            A, b, x0, restart=opts.gmres_restart,
+            monitor=opts.ksp_monitor, **common))
     if opts.ksp_type == "richardson":
-        return lambda b, x0=None: richardson(A, b, x0, **common)
+        return _attach(lambda b, x0=None: richardson(
+            A, b, x0, monitor=opts.ksp_monitor, **common))
     if opts.ksp_type == "fft":
         if deltas is None:
             raise ValueError("fft direct solve needs the grid deltas")
         from poissbox_tpu.solvers.fft import fft_solver_result
-        return lambda b, x0=None: fft_solver_result(A, b, deltas, grid=grid)
+        return _attach(lambda b, x0=None: fft_solver_result(
+            A, b, deltas, grid=grid))
     raise ValueError(
         f"unknown ksp_type {opts.ksp_type!r} "
         "(expected cg|fcg|pipecg|gmres|richardson|fft)")
+
+
+def view(opts: SolverOptions, shape=None, M=None) -> str:
+    """`-ksp_view`-style description of the assembled solver configuration
+    (PETSc prints this from KSPView before the solve; reference solver of
+    record: README.md:42-47). The MG block reports the RESOLVED cycle —
+    the size-aware auto sweep counts and the actual level stack — not the
+    raw flags."""
+    lines = [
+        "KSP Object:",
+        f"  type: {opts.ksp_type}",
+        f"  norm type: {opts.ksp_norm_type}",
+        f"  tolerances: rtol={opts.ksp_rtol:g}, atol={opts.ksp_atol:g}, "
+        f"max_it={opts.ksp_max_it}",
+    ]
+    if opts.ksp_type == "gmres":
+        lines.append(f"  restart: {opts.gmres_restart}")
+    lines.append("PC Object:")
+    lines.append(f"  type: {opts.pc_type}")
+    cfg = getattr(M, "config", None)
+    if opts.pc_type == "mg" and cfg is not None:
+        from poissbox_tpu.solvers.mg import _build_levels
+        lines += [
+            f"  cycle: {cfg.cycle.upper()}({cfg.pre_smooth},"
+            f"{cfg.post_smooth}) x{cfg.cycles}",
+            f"  smoother: {cfg.smoother}"
+            + (f" (damping {cfg.damping:g})" if cfg.damping else ""),
+            f"  coarse solve: {cfg.coarse}",
+            f"  transfers: {cfg.transfers}",
+        ]
+        if cfg.dtype or cfg.pre_dtype:
+            lines.append(f"  cycle dtype: {cfg.dtype or 'field'}"
+                         f" / pre-smooth {cfg.pre_dtype or 'cycle'}")
+        if shape is not None:
+            levels = _build_levels(tuple(shape), (1.0,) * 3, cfg)
+            lines.append(
+                "  levels: "
+                + " -> ".join("x".join(map(str, lv.shape)) for lv in levels))
+    return "\n".join(lines)
 
 
 def solve(
@@ -188,6 +237,12 @@ def solve(
     t_setup0 = _time.perf_counter()
     solver = make_solver(A, opts, shape, deltas, b.dtype, grid=grid)
     t_setup = _time.perf_counter() - t_setup0
+    if opts.ksp_view:
+        # `-ksp_view`: the assembled solver configuration, with the MG
+        # cycle as RESOLVED (auto sweep counts, level stack), before the
+        # solve — PETSc's KSPView placement
+        print(view(opts, shape if shape is not None else
+                   getattr(solver, "shape", None), getattr(solver, "M", None)))
     t0 = _time.perf_counter()
     result = solver(b, x0)
     jax.block_until_ready(result.x)
@@ -213,9 +268,10 @@ def solve(
         # set-but-unconsumed options (PETSc prints this at finalize;
         # reference src/poissbox.f90:295 wires everything through the DB)
         db.check_unused()
-    if opts.ksp_monitor and opts.ksp_type not in ("cg", "fcg", "pipecg"):
-        # cg/fcg/pipecg stream live from inside the jitted loop
-        # (solvers.cg.emit_monitor); post-hoc lines cover the rest
+    if opts.ksp_monitor and opts.ksp_type == "fft":
+        # every iterative solver streams live from inside its jitted loop
+        # (solvers.cg.emit_monitor); the direct solve has no iterations —
+        # print its one-line residual history post-hoc
         for line in result.monitor_lines():
             print(line)
     if opts.ksp_converged_reason:

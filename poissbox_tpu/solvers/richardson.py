@@ -38,8 +38,13 @@ def richardson(
     rtol: float = 1.0e-5,
     atol: float = 1.0e-50,
     max_it: int = 100,
+    monitor: bool = False,
 ) -> SolveResult:
-    """Solve A x = b by damped preconditioned Richardson iteration."""
+    """Solve A x = b by damped preconditioned Richardson iteration.
+
+    `monitor=True` streams a `-ksp_monitor` residual line per iteration
+    from inside the jitted loop (live, like PETSc's during-solve monitor —
+    reference README.md:48-49), matching the cg-family solvers."""
     x = jnp.zeros_like(b) if x0 is None else x0
     b = A.project(b)
     x = A.project(x)
@@ -50,6 +55,9 @@ def richardson(
     bnorm = jnp.sqrt(jnp.sum(b * b))  # PETSc KSPConvergedDefault base
     hist = jnp.full((max_it + 1,), jnp.nan, dtype=b.dtype)
     hist = hist.at[0].set(rnorm0)
+    if monitor:
+        from poissbox_tpu.solvers.cg import emit_monitor
+        emit_monitor(jnp.int32(0), rnorm0)
 
     atol_ = jnp.asarray(atol, b.dtype)
     rtol_ = jnp.asarray(rtol, b.dtype)
@@ -65,6 +73,9 @@ def richardson(
         rnew = b - A(x)
         resnorm = jnp.sqrt(jnp.sum(rnew * rnew))
         k = s.k + 1
+        if monitor:
+            from poissbox_tpu.solvers.cg import emit_monitor
+            emit_monitor(k, resnorm)
         return _RichState(x, resnorm, k, s.hist.at[k].set(resnorm))
 
     final = lax.while_loop(cond, body, _RichState(x, rnorm0, jnp.int32(0), hist))
