@@ -214,6 +214,37 @@ def _op1_kernel(f_ref, o_ref, *, spec, axis):
     o_ref[:] = _vop(f_ref[:], axis, spec, pallas=True)
 
 
+def _vchain(c, axis: int, specs, *, pallas: bool):
+    """Apply a sequence of compact ops along the SAME axis."""
+    for spec in specs:
+        c = _vop(c, axis, spec, pallas=pallas)
+    return c
+
+
+def _yz_lapl_kernel(f_ref, o1_ref, o2_ref, *, izz, gzz, iyy, gyy):
+    """Laplacian front: ALL z and y operator pairs of the regrouped form
+
+        lapl = gx'gx (iy'iy iz'iz f) + ix'ix (gy'gy iz'iz f + iy'iy gz'gz f)
+
+    (per-axis circulant operators commute as tensor factors, so the
+    reference's sweep composition iz' iy' gx' gx iy iz + ... regroups into
+    per-axis pairs; reference composition: src/compact_schemes.f90:17-37).
+    One read of f, two outputs — with the x kernel this makes the whole
+    Laplacian 2 kernels / 6 HBM passes instead of 3 kernels / 14."""
+    c = f_ref[:]
+    a1 = _vchain(c, 2, izz, pallas=True)     # iz'iz f
+    a3 = _vchain(c, 2, gzz, pallas=True)     # gz'gz f
+    o1_ref[:] = _vchain(a1, 1, iyy, pallas=True)
+    o2_ref[:] = (_vchain(a1, 1, gyy, pallas=True)
+                 + _vchain(a3, 1, iyy, pallas=True))
+
+
+def _x_sum_kernel(b1_ref, b23_ref, out_ref, *, ch1, ch2):
+    """Laplacian back: out = gx'gx(b1) + ix'ix(b23) along axis 0."""
+    out_ref[:] = (_vchain(b1_ref[:], 0, ch1, pallas=True)
+                  + _vchain(b23_ref[:], 0, ch2, pallas=True))
+
+
 def _x_kernel(*refs, chains):
     """k inputs -> k outputs, each through its own chain of specs along
     axis 0 (the x sweeps; chains of length 2 fuse grad_x->div'_x etc. with
@@ -343,26 +374,47 @@ def div(F: Array, deltas) -> Array:
 @functools.partial(jax.jit, static_argnames=("deltas",))
 def lapl(f: Array, deltas) -> Array:
     """6th-order Laplacian div(grad(f)) (reference src/compact_schemes.f90:
-    17-37) as 3 kernels / 12 HBM passes; the gradient tensor never touches
-    HBM in vertex form — the X sweeps chain grad_x->div'_x and
-    interp_x->interp'_x with the line resident in VMEM."""
+    17-37) as 2 kernels / 6 HBM passes: the per-axis operator pairs of the
+    commuted regrouping (see _yz_lapl_kernel) evaluate all z+y pairs in one
+    x-slab kernel (1r2w) and both x chains, summed, in one full-x kernel
+    (2r1w). Neither the gradient tensor nor any per-component intermediate
+    beyond the two partial sums touches HBM. (The round-3 form was 3
+    kernels / 14 passes following the literal sweep order.)"""
     dx, dy, dz = deltas
     nx, ny, nz = f.shape
     rt = _dtype_rtol(f.dtype)
     front = functools.partial(
-        _yz_front_kernel,
-        iz=interp_spec(-1, nz, rt), gz=grad_spec(dz, -1, nz, rt),
-        iy=interp_spec(-1, ny, rt), gy=grad_spec(dy, -1, ny, rt))
-    c1, c2, c3 = _yz_call(front, [f], 3)
-    g1, g2, g3 = _x_call(
-        ((grad_spec(dx, -1, nx, rt), grad_spec(dx, +1, nx, rt)),
-         (interp_spec(-1, nx, rt), interp_spec(+1, nx, rt)),
-         (interp_spec(-1, nx, rt), interp_spec(+1, nx, rt))), [c1, c2, c3])
+        _yz_lapl_kernel,
+        izz=(interp_spec(-1, nz, rt), interp_spec(+1, nz, rt)),
+        gzz=(grad_spec(dz, -1, nz, rt), grad_spec(dz, +1, nz, rt)),
+        iyy=(interp_spec(-1, ny, rt), interp_spec(+1, ny, rt)),
+        gyy=(grad_spec(dy, -1, ny, rt), grad_spec(dy, +1, ny, rt)))
+    b1, b23 = _yz_call(front, [f], 2)
     back = functools.partial(
-        _yz_back_kernel,
-        iy=interp_spec(+1, ny, rt), gy=grad_spec(dy, +1, ny, rt),
-        izp=interp_spec(+1, nz, rt), gzp=grad_spec(dz, +1, nz, rt))
-    return _yz_call(back, [g1, g2, g3], 1)
+        _x_sum_kernel,
+        ch1=(grad_spec(dx, -1, nx, rt), grad_spec(dx, +1, nx, rt)),
+        ch2=(interp_spec(-1, nx, rt), interp_spec(+1, nx, rt)))
+    nbuf = 2 * 2 + 1
+    item = f.dtype.itemsize
+    slab = 16 if item < 4 else 8
+    ty = slab if ny % slab == 0 and ny >= slab else ny
+    tz = 128 if nz % 128 == 0 and nz >= 128 else nz
+    while (tz * 2 <= nz and nz % (tz * 2) == 0
+           and nbuf * nx * ty * tz * 2 * item * 2 <= 48 * 1024 * 1024):
+        tz *= 2
+    blk = pl.BlockSpec((nx, ty, tz), lambda j, k: (0, j, k),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        back,
+        grid=(ny // ty, nz // tz),
+        in_specs=[blk, blk],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct(f.shape, f.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 2**20),
+        interpret=_interpret(),
+    )(b1, b23)
 
 
 def available_1d(shape, axis: int, dtype) -> bool:

@@ -424,6 +424,278 @@ def apply_laplacian_dot_stream(u: jax.Array, deltas):
     return _lapl_stream(u, tuple(float(d) for d in deltas), dots=True)
 
 
+# ---------------------------------------------------------------------------
+# two-input / two-output aliased pipeline — the CG fusion kernels
+#
+# The HBM two-stream wall is real for genuinely distinct buffers (~350-450
+# GB/s vs 650-780 same-buffer, bench/exp_bw*.py; the round-4 ledger's first
+# "two-stream" probe accidentally re-measured the same-buffer case through
+# XLA's donated loop carry). The CG iteration's 4-stream fused kernels can
+# dodge the wall entirely: at the moment they run, both of their inputs are
+# DEAD (v and p_old die forming p' and A p'; r and Ap die forming the new
+# RHS and the pre-smooth iterate), so each output aliases an input and all
+# four streams run in the fast same-buffer regime. The lagged-write slab
+# schedule of _make_kernel makes the aliased read-write race-free.
+# ---------------------------------------------------------------------------
+
+def _make_kernel2(nx, ny, nz, T, H, dtype, update, dots=False):
+    """Manual pipeline with TWO halo-extended inputs and TWO slab outputs,
+    each output aliased onto the same-index input (callers pass
+    input_output_aliases={1: 0, 2: 1}; input 0 is an SMEM scalar vector).
+
+    `update(ae, be, sc, x0) -> (outA, outB)` maps the two extended slabs
+    (T+2H planes each) to the T output planes written through a's and b's
+    buffers respectively. `dots(outA, outB, ae, be) -> (s0, s1)` optionally
+    accumulates two reductions into an (8, 128) extra output."""
+    nb = nx // T
+    P = T + 2 * H
+
+    def kernel(sc_ref, a_hbm, b_hbm, oa_hbm, ob_hbm, *dots_out):
+        def body(ab, bb, oa, ob2, wrapa, wrapb, sal, sab, sar,
+                 sbl, sbb2, sbr, soa, sob, swa, swb):
+            # prologue: save both inputs' wrap planes [0, H) before any
+            # aliased write-back can clobber them
+            wa = pltpu.make_async_copy(a_hbm.at[pl.ds(0, H)], wrapa, swa)
+            wb = pltpu.make_async_copy(b_hbm.at[pl.ds(0, H)], wrapb, swb)
+            wa.start()
+            wb.start()
+            wa.wait()
+            wb.wait()
+
+            def left(hbm, buf, sem, slot, i):
+                return pltpu.make_async_copy(
+                    hbm.at[pl.ds((i * T - H) % nx, H)],
+                    buf.at[slot, pl.ds(0, H)], sem.at[slot])
+
+            def mid(hbm, buf, sem, slot, i):
+                return pltpu.make_async_copy(
+                    hbm.at[pl.ds(i * T, T)],
+                    buf.at[slot, pl.ds(H, T)], sem.at[slot])
+
+            def right(hbm, buf, sem, slot, i):
+                return pltpu.make_async_copy(
+                    hbm.at[pl.ds(i * T + T, H)],
+                    buf.at[slot, pl.ds(H + T, H)], sem.at[slot])
+
+            def write(hbm, buf, sem, slot, i):
+                return pltpu.make_async_copy(
+                    buf.at[slot], hbm.at[pl.ds(i * T, T)], sem.at[slot])
+
+            def fetch(slot, i):
+                left(a_hbm, ab, sal, slot, i).start()
+                mid(a_hbm, ab, sab, slot, i).start()
+                left(b_hbm, bb, sbl, slot, i).start()
+                mid(b_hbm, bb, sbb2, slot, i).start()
+                @pl.when(i < nb - 1)
+                def _():
+                    right(a_hbm, ab, sar, slot, i).start()
+                    right(b_hbm, bb, sbr, slot, i).start()
+
+            fetch(0, 0)
+
+            def step(i, carry):
+                slot = jax.lax.rem(i, 2)
+                nxt = jax.lax.rem(i + 1, 2)
+                @pl.when(i == 0)
+                def _():
+                    left(a_hbm, ab, sal, slot, i).wait()
+                    left(b_hbm, bb, sbl, slot, i).wait()
+                mid(a_hbm, ab, sab, slot, i).wait()
+                mid(b_hbm, bb, sbb2, slot, i).wait()
+                @pl.when(i < nb - 1)
+                def _():
+                    right(a_hbm, ab, sar, slot, i).wait()
+                    right(b_hbm, bb, sbr, slot, i).wait()
+                @pl.when(i == nb - 1)
+                def _():
+                    ab[slot, H + T:H + T + H] = wrapa[...]
+                    bb[slot, H + T:H + T + H] = wrapb[...]
+                @pl.when(i >= 2)
+                def _():
+                    write(oa_hbm, oa, soa, slot, i - 2).wait()
+                    write(ob_hbm, ob2, sob, slot, i - 2).wait()
+                outA, outB = update(ab[slot], bb[slot], sc_ref, i * T)
+                oa[slot] = outA
+                ob2[slot] = outB
+                if dots:
+                    s0, s1 = carry
+                    d0, d1 = dots(oa[slot], ob2[slot], ab[slot], bb[slot])
+                    carry = (s0 + d0, s1 + d1)
+                # the only later reads overlapping [iT, iT+T) are slab
+                # i+1's left halos — fetch them, then release both writes
+                @pl.when(i + 1 < nb)
+                def _():
+                    fetch(nxt, i + 1)
+                    left(a_hbm, ab, sal, nxt, i + 1).wait()
+                    left(b_hbm, bb, sbl, nxt, i + 1).wait()
+                write(oa_hbm, oa, soa, slot, i).start()
+                write(ob_hbm, ob2, sob, slot, i).start()
+                return carry
+
+            zero = jnp.zeros((), dtype)
+            acc = jax.lax.fori_loop(0, nb, step, (zero, zero), unroll=False)
+            if dots:
+                ii = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+                jj = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+                dots_out[0][...] = jnp.where(
+                    (ii == 0) & (jj == 0), acc[0],
+                    jnp.where((ii == 0) & (jj == 1), acc[1],
+                              jnp.zeros((), dtype))).astype(dtype)
+            for hbm, buf, sem in ((oa_hbm, oa, soa), (ob_hbm, ob2, sob)):
+                write(hbm, buf, sem, jax.lax.rem(nb - 1, 2), nb - 1).wait()
+                @pl.when(nb >= 2)
+                def _():
+                    write(hbm, buf, sem, jax.lax.rem(nb - 2, 2),
+                          nb - 2).wait()
+
+        pl.run_scoped(
+            body,
+            ab=pltpu.VMEM((2, P, ny, nz), dtype),
+            bb=pltpu.VMEM((2, P, ny, nz), dtype),
+            oa=pltpu.VMEM((2, T, ny, nz), dtype),
+            ob2=pltpu.VMEM((2, T, ny, nz), dtype),
+            wrapa=pltpu.VMEM((H, ny, nz), dtype),
+            wrapb=pltpu.VMEM((H, ny, nz), dtype),
+            sal=pltpu.SemaphoreType.DMA((2,)),
+            sab=pltpu.SemaphoreType.DMA((2,)),
+            sar=pltpu.SemaphoreType.DMA((2,)),
+            sbl=pltpu.SemaphoreType.DMA((2,)),
+            sbb2=pltpu.SemaphoreType.DMA((2,)),
+            sbr=pltpu.SemaphoreType.DMA((2,)),
+            soa=pltpu.SemaphoreType.DMA((2,)),
+            sob=pltpu.SemaphoreType.DMA((2,)),
+            swa=pltpu.SemaphoreType.DMA(()),
+            swb=pltpu.SemaphoreType.DMA(()),
+        )
+
+    return kernel
+
+
+def _pick_T2(nx, ny, nz, itemsize, H, budget=100 * 2**20):
+    """Largest power-of-two slab for the two-in/two-out pipeline: explicit
+    buffers (2 double-buffered extended inputs + 2 outputs + 2 wraps) plus
+    ~2 extended temporaries the update keeps live."""
+    plane = ny * nz * itemsize
+    T = 16
+    while T > 1:
+        need = (4 * (T + 2 * H) + 4 * T + 2 * H + 2 * (T + 2 * H)) * plane
+        if nx % T == 0 and need <= budget:
+            return T
+        T //= 2
+    return 1
+
+
+def _launch2(kernel, a, b, sc, dots: bool):
+    out_shape = [jax.ShapeDtypeStruct(a.shape, a.dtype),
+                 jax.ShapeDtypeStruct(a.shape, a.dtype)]
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY),
+                 pl.BlockSpec(memory_space=pl.ANY)]
+    if dots:
+        out_shape.append(jax.ShapeDtypeStruct((8, 128), a.dtype))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    return pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shape),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=tuple(out_specs),
+        input_output_aliases={1: 0, 2: 1},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=20 * a.size,
+            bytes_accessed=4 * a.size * a.dtype.itemsize,
+            transcendentals=0),
+        interpret=jax.default_backend() != "tpu",  # CPU tests
+    )(sc, a, b)
+
+
+@functools.partial(jax.jit, static_argnames=("deltas",))
+def _pupd_matvec_stream(v, p, sc, deltas):
+    """(A p', <p', A p'>, p') where p' = (v - zshift) + beta * p — CG's
+    search-direction update fused into the matvec, with A p' written
+    through v's buffer and p' through p's (both die here in CG). Streams:
+    2 same-buffer pairs instead of the separate p-update's 3 streams plus
+    the matvec's 2."""
+    nx, ny, nz = v.shape
+    invs = tuple(1.0 / float(d) ** 2 for d in deltas)
+    T = _pick_T2(nx, ny, nz, v.dtype.itemsize, 1)
+
+    def update(ve, pe_old, sc_ref, x0):
+        beta = sc_ref[0]
+        zs = sc_ref[1]
+        pe = (ve - zs) + beta * pe_old          # T+2 extended planes
+        return _star(pe, invs), pe[1:-1]        # (A p' -> v buf, p' -> p buf)
+
+    def dotsfn(ap, pnew, ve, pe_old):
+        return jnp.sum(ap * pnew), jnp.zeros((), ap.dtype)
+
+    kernel = _make_kernel2(nx, ny, nz, T, 1, v.dtype, update, dots=dotsfn)
+    ap, pnew, d = _launch2(kernel, v, p, sc, dots=True)
+    return ap, d[0, 0], pnew
+
+
+def pupdate_matvec_stream(v: jax.Array, p_old: jax.Array, beta, zshift,
+                          deltas):
+    """(p', A p', <p', A p'>) with p' = (v - zshift) + beta * p_old —
+    the aliased streaming form (LinearOperator.pupdate_apply_dot order)."""
+    sc = jnp.stack([jnp.asarray(beta, v.dtype),
+                    jnp.asarray(zshift, v.dtype)])
+    ap, pap, pnew = _pupd_matvec_stream(v, p_old, sc,
+                                        tuple(float(d) for d in deltas))
+    return pnew, ap, pap
+
+
+@functools.partial(jax.jit, static_argnames=("deltas", "weight", "reverse"))
+def _zero_upd_stream(r, ap, sc, deltas, weight, reverse):
+    """(b, x1, ||b||^2, sum(b)) with b = r - alpha*Ap and x1 the zero-guess
+    red-black sweep for A x = b — the V-cycle's first kernel with CG's
+    residual update fused in, b written through r's buffer and x1 through
+    Ap's (both die here in CG)."""
+    nx, ny, nz = r.shape
+    invs = tuple(1.0 / float(d) ** 2 for d in deltas)
+    winv = float(weight) / (-2.0 * sum(invs))
+    colors = (1, 0) if reverse else (0, 1)
+    T = _pick_T2(nx, ny, nz, r.dtype.itemsize, 1)
+
+    def update(re, ape, sc_ref, x0):
+        a = sc_ref[0]
+        be = re - a * ape                       # T+2 extended planes
+        par = _parity_x((T + 2, ny, nz), x0 - 1)
+        dt = be.dtype.type
+        w1 = jnp.where(par == colors[0], dt(winv), dt(0.0))
+        x1 = _rb_halfstep(w1 * be, be[1:-1], (dt(winv) - w1)[1:-1], invs)
+        return be[1:-1], x1                     # (b -> r buf, x1 -> Ap buf)
+
+    def dotsfn(b_new, x1, re, ape):
+        return jnp.sum(b_new * b_new), jnp.sum(b_new)
+
+    kernel = _make_kernel2(nx, ny, nz, T, 1, r.dtype, update, dots=dotsfn)
+    b_new, x1, d = _launch2(kernel, r, ap, sc, dots=True)
+    return b_new, x1, d[0, 0], d[0, 1]
+
+
+def sor_rb_zero_update_stream(r: jax.Array, ap: jax.Array, alpha, deltas,
+                              weight: float, reverse: bool = False):
+    """Aliased streaming form of sor_rb_zero_update_pallas (same returns)."""
+    sc = jnp.reshape(jnp.asarray(alpha, r.dtype), (1,))
+    return _zero_upd_stream(r, ap, sc, tuple(float(d) for d in deltas),
+                            float(weight), bool(reverse))
+
+
+def stream2_ok(shape, dtype) -> bool:
+    """True when the aliased two-in/two-out pipeline applies (big enough
+    to be HBM-bound, slab math valid)."""
+    nx, ny, nz = shape
+    if jax.default_backend() != "tpu":
+        return False
+    itemsize = jnp.dtype(dtype).itemsize
+    if nx * ny * nz * itemsize < 256 * 2**20:
+        return False
+    T = _pick_T2(nx, ny, nz, itemsize, 1)
+    return T >= 2 and nx // T >= 4
+
+
 def available(shape, dtype) -> bool:
     """True when the in-place scheme applies: big enough that VMEM
     residency can't hide the two-stream wall, slab math valid."""

@@ -773,7 +773,16 @@ def sor_rb_zero_update_pallas(r: jax.Array, ap: jax.Array, alpha,
                               reverse: bool = False, tile_x: int = 8):
     """(b, x1, ||b||^2, sum(b)) where b = r - alpha*Ap and x1 is the
     zero-guess RB sweep for A x = b — CG's residual update fused into the
-    V-cycle's first kernel."""
+    V-cycle's first kernel.
+
+    512^3-class grids take the ALIASED streaming form (b through r's
+    buffer, x1 through Ap's — both die at this point of the CG iteration,
+    so all four streams run in the fast same-buffer HBM regime: measured
+    4.20 vs 5.18 ms at 512^3, bench/exp_ledger512.py round 4)."""
+    from poissbox_tpu.ops import stencil_inplace
+    if stencil_inplace.stream2_ok(r.shape, r.dtype):
+        return stencil_inplace.sor_rb_zero_update_stream(
+            r, ap, alpha, deltas, weight, reverse)
     plane = r.shape[1] * r.shape[2] * r.dtype.itemsize
     tx = tile_x
     # 4 block streams of (tx+2) planes, double-buffered by the pipeline,
