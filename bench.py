@@ -94,11 +94,47 @@ def bench_stencil(n: int, dtype, lo: int = 25, hi: int = 100) -> dict:
     per_cold = max((t_hi - t_lo) / (hi - lo), 1e-9)
     gdofs = n**3 / per_apply / 1e9
     gdofs_cold = n**3 / per_cold / 1e9
+
+    # MEASURED same-access-pattern ceiling (the tridiag metric's round-3
+    # honesty fix, extended to the stencil in round 4): the apply reads one
+    # buffer and writes a DIFFERENT one, so its wall is the two-stream HBM
+    # rate — measurably below the spec sheet at 512^3-class (~450-660 vs
+    # 819 GB/s) — not the same-buffer rate a donated XLA loop carry shows.
+    # The probe keeps the read buffer LIVE across the loop (output lands in
+    # the dead carry's buffer; the 1e-30 carry tap defeats hoisting), which
+    # is exactly the fastest any out-of-place 2-pass kernel could run. If
+    # the probe still implies faster-than-spec streaming (VMEM residency at
+    # small n), the ceiling falls back to the spec two-pass floor.
+    scale = jnp.asarray(1.0000001192092896, dtype)
+    w0 = u * scale
+
+    def two_stream(iters: int) -> float:
+        f = jax.jit(lambda w, v: jnp.sum(jax.lax.fori_loop(
+            0, iters, lambda _, ww: v * scale + (1e-30 * ww[0, 0, 0]), w)))
+        float(f(w0, u))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(f(w0, u))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t2_lo, t2_hi = two_stream(lo), two_stream(hi)
+    while hi < 20000 and (t2_hi - t2_lo) <= max(0.5 * t2_lo, 0.020):
+        hi *= 4
+        t2_hi = two_stream(hi)
+    t_ceil = max((t2_hi - t2_lo) / (hi - lo), 1e-9)
     bpd = 2 * jnp.dtype(dtype).itemsize  # 1 read + 1 write per DoF, fused
-    sol = _hbm_gbps() / bpd              # speed-of-light GDoF/s
-    return {"stencil_gdofs": gdofs, "stencil_roofline_frac": gdofs / sol,
+    t_spec = n**3 * bpd / (_hbm_gbps() * 1e9)
+    basis = "measured-two-stream"
+    if t_ceil < t_spec:
+        t_ceil, basis = t_spec, "hbm-spec-floor"
+    return {"stencil_gdofs": gdofs,
+            "stencil_roofline_frac": min(t_ceil / per_apply, 1.0),
             "stencil_gdofs_cold": gdofs_cold,
-            "stencil_roofline_frac_cold": gdofs_cold / sol,
+            "stencil_roofline_frac_cold": min(t_ceil / per_cold, 1.0),
+            "stencil_ceiling_ms": t_ceil * 1e3,
+            "stencil_ceiling_basis": basis,
             "stencil_time_per_apply_ms": per_apply * 1e3,
             "stencil_impl": "pallas" if on_tpu else "roll"}
 

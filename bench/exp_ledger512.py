@@ -1,31 +1,33 @@
 """Per-iteration byte/time LEDGER for the flagship MG-CG solve.
 
-VERDICT r3 item 1: the 512^3 MG-CG iteration runs ~27.5 ms while its
-kernels' memory floors sum to ~16-18 ms — this script closes that book by
-measuring every stage of the REAL iteration composition (the
-`apply_update_dots` path of solvers.cg with the auto V(1,1) cycle), its
-minimum HBM bytes, and the measured ceiling for its access pattern, then
-cross-checks the sum of stages against the measured whole.
+VERDICT r3 item 1: the 512^3 MG-CG iteration ran ~27.5 ms while its
+kernels' memory floors summed to ~17 ms. This script measures every stage
+of the REAL iteration composition — round 4: eager p/x updates, the
+ALIASED streaming zero-guess kernel with bf16 pre-smooth output (the
+512^3-class default), the fused downward/upward legs — its minimum HBM
+bytes, and the measured ceiling for its access pattern, then cross-checks
+the sum of stages against the measured whole.
 
-Stages of one 512^3 CG iteration (cfg = auto-resolved MGConfig):
-  1. matvec+dot        Ap, <p, Ap>             (A.apply_dot)
+Stages of one 512^3 CG iteration (auto cfg: V(1,1), pre_dtype=bf16):
+  1. matvec+dot        Ap, <p, Ap>             (A.apply_dot, big-slab tiles)
   2. x-update          x + alpha p             (XLA, loop-aliased)
-  3. zero-upd sweep    b=r-a*Ap; zero-guess RB (sor_rb_zero_update_pallas)
-  4. resid+x-restrict  r1 = b - A x1, /2 on x  (residual_xrestrict_pallas)
-  5. yz-restrict       restrict_mm axes (1,2)  (MXU banded contractions)
-  6. sub-cycle         full V-cycle at level 1 (256^3 and below, as a unit)
-  7. yz-prolong        prolong_mm axes (1,2)
-  8. x-prolong+add     xprolong_add_pallas     (aliased through x)
-  9. post-smooth+dots  in-place RB sweep       (sor_rb_sweep_inplace dots)
+  3. p-update          (v - zs) + beta p       (XLA, loop-aliased)
+  4. zero-upd sweep    b=r-a*Ap f32; x1 bf16   (aliased stream kernel)
+  5. resid+x-restrict  r1 = b - A x1, /2 on x  (bf16 x1 read)
+  6. yz-restrict       restrict_mm axes (1,2)  (MXU banded contractions)
+  7. sub-cycle         full V-cycle at level 1 (256^3 and below, as a unit)
+  8. yz-prolong        prolong_mm axes (1,2)
+  9. x-prolong+add     xprolong_add_pallas     (bf16 x1 read, f32 out)
+ 10. post-smooth+dots  in-place RB sweep       (aliased, f32)
 
 Measured ceilings (same timing protocol as the stages):
-  same-buffer pass   v <- v * c     (donated carry: read+write one buffer)
-  two-stream pass    w <- v * c     (ping-pong carry: two live buffers)
+  same-buffer pass   v <- v * c         (donated carry)
+  two-stream pass    w <- v*c + eps*w   (v kept LIVE: a true 2-buffer
+                     stream — the round-4a probe's dead-carry ping-pong
+                     was silently aliased by XLA back to same-buffer)
 
-Output: a markdown table (stderr) + one JSON line (stdout) recording each
-stage's ms, min GB, implied GB/s, ceiling ms, and the accounted fraction
-sum(stages)/measured-iteration. Run:
-  PYTHONPATH=/root/.axon_site:. python bench/exp_ledger512.py [--n 512]
+Output: a table (stderr), one JSON line (stdout), and docs/LEDGER_512.md.
+Run:  PYTHONPATH=/root/.axon_site:. python bench/exp_ledger512.py
 """
 
 from __future__ import annotations
@@ -63,13 +65,12 @@ def ktime(fn, *args, lo=5, hi=20, reps=3, carry=0):
 
 
 def ktime_nudge(fn, *args, lo=5, hi=20, reps=3):
-    """ktime for stages whose output shape differs from every input: carry
-    args[0], nudged by 1e-30 * a data-dependent scalar of the output so the
-    loop body cannot be hoisted (single-element update, ~zero cost)."""
+    """ktime for stages whose output shape differs from every input."""
     def step(w, *rest):
         out = fn(w, *rest)
         leaf = jax.tree_util.tree_leaves(out)[0]
-        return w.at[(0,) * w.ndim].add(1e-30 * leaf.reshape(-1)[0])
+        return w.at[(0,) * w.ndim].add(
+            (1e-30 * leaf.reshape(-1)[0]).astype(w.dtype))
 
     return ktime(step, *args, lo=lo, hi=hi, reps=reps)
 
@@ -77,6 +78,8 @@ def ktime_nudge(fn, *args, lo=5, hi=20, reps=3):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=512)
+    ap.add_argument("--write-md", action="store_true",
+                    help="write docs/LEDGER_512.md")
     args = ap.parse_args()
     n = args.n
     try:
@@ -99,25 +102,31 @@ def main() -> None:
     deltas = grid.deltas
     A = make_laplacian_operator(grid)
     dt = jnp.float32
-    fs = n**3 * 4  # one field, bytes
+    fs = n**3 * 4  # one f32 field, bytes
     GB = 1e9
 
     cfg = mgm._resolve_sweeps(MGConfig(), grid.n)
+    import dataclasses as _dc
+    if n >= 512:
+        cfg = _dc.replace(cfg, pre_dtype="bfloat16")  # the built default
     levels = mgm._build_levels(grid.n, deltas, cfg)
     pinv = mgm._coarse_pinv(levels[-1], cfg, dt)
     w = 1.0 if cfg.damping is None else cfg.damping
+    pd = jnp.dtype(cfg.pre_dtype) if cfg.pre_dtype else None
 
     key = jax.random.PRNGKey(0)
     u = jax.random.uniform(key, grid.n, dt)
     b = jax.random.uniform(jax.random.PRNGKey(1), grid.n, dt)
     r = jax.random.uniform(jax.random.PRNGKey(2), grid.n, dt)
+    u_n = u.astype(pd) if pd else u          # narrow pre-smooth iterate
     nc = n // 2
     half = jax.random.uniform(jax.random.PRNGKey(3), (nc, n, n), dt)
     rc = jax.random.uniform(jax.random.PRNGKey(4), (nc, nc, nc), dt)
     alpha = jnp.float32(0.37)
 
     print(f"device: {jax.devices()[0].device_kind}  n={n}  "
-          f"cycle=V({cfg.pre_smooth},{cfg.post_smooth}) levels={len(levels)}",
+          f"cycle=V({cfg.pre_smooth},{cfg.post_smooth}) levels={len(levels)}"
+          f" pre_dtype={cfg.pre_dtype or '-'}",
           file=sys.stderr, flush=True)
 
     rows = []
@@ -132,8 +141,9 @@ def main() -> None:
     # -- measured ceilings ---------------------------------------------
     c = jnp.asarray(1.0000001192092896, dt)
     t_same = ktime(lambda v: v * c, u)                # donated carry
-    # ping-pong: two live buffers, genuine two-stream traffic
-    t_two = ktime(lambda v, wv: wv * c, u, u.at[0, 0, 0].add(1.0), carry=1)
+    # true two-stream: v stays LIVE, output lands in the dead carry w
+    t_two = ktime(lambda wv, v: v * c + (1e-30 * wv[0, 0, 0]),
+                  u * c, u, carry=0)
     gb_same = 2 * fs / t_same / GB
     gb_two = 2 * fs / t_two / GB
     print(f"ceilings: same-buffer {t_same*1e3:.3f} ms ({gb_same:.0f} GB/s)"
@@ -141,46 +151,42 @@ def main() -> None:
           file=sys.stderr, flush=True)
 
     # -- stages ----------------------------------------------------------
-    # 1. matvec + dot (carry the field through the matvec output)
     t = ktime(lambda v: A.apply_dot(v)[0], u)
     stage("matvec+dot", t, 2 * fs, "two")
 
-    # 2. x-update (carry x: the while_loop aliases it in production too)
     t = ktime(lambda x, p: x + alpha * p, u, b)
     stage("x-update", t, 3 * fs, "mixed")
 
-    # 3. zero-guess RB sweep with fused r-update (reads r, Ap; writes
-    #    b_new, x1)
-    def zu(rr, ap):
-        b2, x1, _, _ = sp.sor_rb_zero_update_pallas(rr, ap, alpha, deltas, w)
-        return b2.at[0, 0, 0].add(1e-30 * x1[0, 0, 0])
-    t = ktime(zu, r, b)
-    stage("zero-upd sweep", t, 4 * fs, "two")
+    t = ktime(lambda p, v: (v - jnp.float32(0.01)) + alpha * p, u, b)
+    stage("p-update", t, 3 * fs, "mixed")
 
-    # 4. residual + x-restrict
+    nb = fs // 2 if pd else fs               # narrow-iterate bytes
+
+    def zu(rr, ap):
+        b2, x1, _, _ = sp.sor_rb_zero_update_pallas(
+            rr, ap, alpha, deltas, w, out_dtype=pd)
+        return b2.at[0, 0, 0].add((1e-30 * x1[0, 0, 0]).astype(b2.dtype))
+    t = ktime(zu, r, b)
+    stage("zero-upd sweep", t, 3 * fs + nb, "aliased")
+
     t = ktime_nudge(lambda x1, b2: sp.residual_xrestrict_pallas(x1, b2,
                                                                 deltas),
-                    u, b)
-    stage("resid+x-restrict", t, int(2.5 * fs), "two")
+                    u_n, b)
+    stage("resid+x-restrict", t, fs + nb + fs // 2, "two")
 
-    # 5. y/z restrict (MXU banded contractions on the half-size block)
     t = ktime_nudge(lambda h: mgm.restrict_mm(h, axes=(1, 2)), half)
     by = (fs // 2 + fs // 4) + (fs // 4 + fs // 8)
     stage("yz-restrict (MXU)", t, by, "two")
 
-    # 6. the whole sub-cycle below level 0, as one unit
     t = ktime(lambda v: mgm.v_cycle(levels, pinv, cfg, v, 1), rc)
     stage("sub-cycle (lvl1+)", t, 0, "-")
 
-    # 7. y/z prolong
     t = ktime_nudge(lambda e: mgm.prolong_mm(e, axes=(1, 2)), rc)
     stage("yz-prolong (MXU)", t, by, "two")
 
-    # 8. x-prolong + add (aliased through x)
-    t = ktime(lambda x, e: sp.xprolong_add_pallas(x, e), u, half)
-    stage("x-prolong+add", t, int(2.5 * fs), "mixed")
+    t = ktime_nudge(lambda x, e: sp.xprolong_add_pallas(x, e), u_n, half)
+    stage("x-prolong+add", t, nb + fs // 2 + fs, "two")
 
-    # 9. final post-smooth with fused coupling dots (in-place kernel)
     if si.available(grid.n, dt):
         def ps(x, bb):
             out, rv, sv = si.sor_rb_sweep_inplace(x, bb, deltas, w,
@@ -193,10 +199,10 @@ def main() -> None:
                                                  reverse=True, dots=True)
             return out.at[0, 0, 0].add(1e-30 * (rv + sv))
         t = ktime(ps, u, b)
-    stage("post-smooth+dots", t, 3 * fs, "same")
+    stage("post-smooth+dots", t, 3 * fs, "aliased")
 
     # -- wholes ----------------------------------------------------------
-    M = make_mg_preconditioner(grid.n, deltas, cfg, dtype=dt)
+    M = make_mg_preconditioner(grid.n, deltas, MGConfig(), dtype=dt)
     solve = jax.jit(lambda rhs: cg(A, rhs, M=M, rtol=1e-6, max_it=50))
     rhs = A(u - jnp.mean(u))
     res = solve(rhs)
@@ -211,27 +217,65 @@ def main() -> None:
           f"(accounted {t_stages/per_it*100:.1f}% of the iteration)",
           file=sys.stderr)
 
-    # floors: each stage's min bytes at ITS measured ceiling
+    # floors: each stage's min bytes at ITS measured ceiling (aliased and
+    # mixed patterns can reach the same-buffer rate; pure reads/writes of
+    # distinct buffers the two-stream rate)
     floor = 0.0
     for rw in rows:
-        if rw["ceil"] == "same":
-            floor += rw["gb"] * GB / (gb_same * GB / 2 * 2) * 1  # s
-        elif rw["ceil"] in ("two", "mixed"):
-            floor += rw["gb"] * GB / (gb_two * GB / 2 * 2)
-        else:
-            floor += rw["ms"] / 1e3  # sub-cycle taken at its measured time
+        rate = gb_same if rw["ceil"] in ("same", "aliased", "mixed") \
+            else gb_two
+        floor += rw["ms"] / 1e3 if rw["ceil"] == "-" else rw["gb"] / rate
     print(f"sum of per-stage memory floors: {floor*1e3:.2f} ms/it  "
           f"(floors/stages = {floor/t_stages*100:.1f}%)", file=sys.stderr)
 
-    print(json.dumps({
+    rec = {
         "n": n, "iters": iters, "solve_ms": t_solve * 1e3,
         "per_it_ms": per_it * 1e3, "stages_ms": t_stages * 1e3,
         "accounted_frac": t_stages / per_it,
         "floors_ms": floor * 1e3,
         "floor_frac_of_stages": floor / t_stages,
         "ceil_same_gbps": gb_same, "ceil_two_gbps": gb_two,
+        "cycle": f"V({cfg.pre_smooth},{cfg.post_smooth})",
+        "pre_dtype": cfg.pre_dtype,
         "stages": rows,
-    }))
+    }
+    print(json.dumps(rec))
+
+    if args.write_md:
+        lines = [
+            "# 512^3 MG-CG per-iteration byte/time ledger (round 4)",
+            "",
+            "Produced by `bench/exp_ledger512.py --write-md` on the driver"
+            " TPU; every stage of the",
+            "real iteration composition, its minimum HBM bytes, and the"
+            " measured access-pattern ceilings.",
+            "",
+            f"Device: {jax.devices()[0].device_kind}; measured ceilings:"
+            f" same-buffer {gb_same:.0f} GB/s, two-stream {gb_two:.0f}"
+            f" GB/s; cycle {rec['cycle']}, pre_dtype"
+            f" {cfg.pre_dtype or 'none'}.",
+            "",
+            "| stage | ms | min GB | GB/s | pattern |",
+            "|---|---|---|---|---|",
+        ]
+        for rw in rows:
+            lines.append(f"| {rw['tag']} | {rw['ms']:.3f} | {rw['gb']:.3f}"
+                         f" | {rw['gbps']:.0f} | {rw['ceil']} |")
+        lines += [
+            "",
+            f"Solve: **{rec['solve_ms']:.1f} ms / {iters} it ="
+            f" {rec['per_it_ms']:.2f} ms/it**; stage sum"
+            f" {rec['stages_ms']:.2f} ms/it"
+            f" (**{rec['accounted_frac']*100:.1f}% attributed**);"
+            f" per-stage memory floors {rec['floors_ms']:.2f} ms/it"
+            f" ({rec['floor_frac_of_stages']*100:.0f}% of stage time is"
+            " at measured floors; the rest is VPU time in the red-black"
+            " sweeps and transfer contractions).",
+            "",
+        ]
+        with open("docs/LEDGER_512.md", "w") as fh:
+            fh.write("\n".join(lines))
+        print("wrote docs/LEDGER_512.md", file=sys.stderr)
 
 
 if __name__ == "__main__":

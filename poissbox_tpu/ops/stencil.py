@@ -114,28 +114,16 @@ def make_laplacian_operator(grid, impl: str = "auto"):
         apply = lambda u: apply_laplacian_pallas(u, deltas)
         apply_dot = lambda u: apply_laplacian_dot_pallas(u, deltas)
         fused_update = cg_fused_update
-        # The p-update fused into the matvec: bound for 512^3-class grids
-        # through the ALIASED streaming kernel (p' through p_old's buffer,
-        # A p' through v's — both die at this point of the CG iteration,
-        # so all four streams run in the same-buffer HBM regime: measured
-        # 4.50 ms vs separate p-update 2.40 + matvec+dot 3.64 at 512^3,
-        # round 4). The round-3 BlockSpec fusion (pupdate_lapl_dot_pallas)
-        # measured SLOWER (doubled halo fetches, bench/exp_pupd_ab.py) and
-        # stays unbound; smaller grids keep the eager update (the
-        # deferred-p loop with an in-line fallback costs the same passes
-        # as the eager loop).
-        from poissbox_tpu.ops import stencil_inplace
-
-        def _pupd(v, p_old, beta, zshift):
-            if stencil_inplace.stream2_ok(v.shape, v.dtype):
-                return stencil_inplace.pupdate_matvec_stream(
-                    v, p_old, beta, zshift, deltas)
-            pn = (v - zshift) + beta * p_old
-            out, dot = apply_laplacian_dot_pallas(pn, deltas)
-            return pn, out, dot
-
-        if grid.ndof * 4 >= 256 * 2**20:
-            pupdate_apply_dot = _pupd
+        # The p-update fused into the matvec is NOT bound by default — a
+        # twice-measured negative. Round 3's BlockSpec fusion lost to
+        # doubled halo fetches (bench/exp_pupd_ab.py); round 4's ALIASED
+        # streaming kernel (stencil_inplace.pupdate_matvec_stream, p'
+        # through p_old's buffer, A p' through v's) wins in isolation
+        # (4.50 ms vs separate p-update 2.40 + matvec+dot 3.64 at 512^3)
+        # yet LOSES ~1.3 ms/it end-to-end (194.3 vs 185.1 ms solve, no
+        # defensive copies in the HLO): eagerly, XLA co-schedules the p-
+        # and x-updates (both read p) into cheaper fusions than the
+        # deferred loop allows. Kernel + cg's deferred-p path stay tested.
         local_pallas = True
     elif impl == "dist":
         if grid.mesh is None:

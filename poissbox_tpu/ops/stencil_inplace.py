@@ -294,8 +294,8 @@ def _sor_rb_multi_inplace(u, b, deltas, weight, reverse, nsweeps,
         x = xe
         m0 = xe.shape[0] - 2
         par = _parity_x((m0, ny, nz), x0 + (1 - H))
-        w0 = jnp.where(par == colors[0], x.dtype.type(winv),
-                       x.dtype.type(0.0))
+        from poissbox_tpu.ops.stencil_pallas import _color_weight
+        w0 = _color_weight(par, colors[0], winv, x.dtype)
         ws = (w0, x.dtype.type(winv) - w0)
         for j in range(2 * nsweeps):
             m = x.shape[0]
@@ -438,7 +438,8 @@ def apply_laplacian_dot_stream(u: jax.Array, deltas):
 # schedule of _make_kernel makes the aliased read-write race-free.
 # ---------------------------------------------------------------------------
 
-def _make_kernel2(nx, ny, nz, T, H, dtype, update, dots=False):
+def _make_kernel2(nx, ny, nz, T, H, dtype, update, dots=False,
+                  out_dtypes=None):
     """Manual pipeline with TWO halo-extended inputs and TWO slab outputs,
     each output aliased onto the same-index input (callers pass
     input_output_aliases={1: 0, 2: 1}; input 0 is an SMEM scalar vector).
@@ -552,8 +553,10 @@ def _make_kernel2(nx, ny, nz, T, H, dtype, update, dots=False):
             body,
             ab=pltpu.VMEM((2, P, ny, nz), dtype),
             bb=pltpu.VMEM((2, P, ny, nz), dtype),
-            oa=pltpu.VMEM((2, T, ny, nz), dtype),
-            ob2=pltpu.VMEM((2, T, ny, nz), dtype),
+            oa=pltpu.VMEM((2, T, ny, nz),
+                          (out_dtypes or (dtype, dtype))[0]),
+            ob2=pltpu.VMEM((2, T, ny, nz),
+                           (out_dtypes or (dtype, dtype))[1]),
             wrapa=pltpu.VMEM((H, ny, nz), dtype),
             wrapb=pltpu.VMEM((H, ny, nz), dtype),
             sal=pltpu.SemaphoreType.DMA((2,)),
@@ -585,14 +588,24 @@ def _pick_T2(nx, ny, nz, itemsize, H, budget=100 * 2**20):
     return 1
 
 
-def _launch2(kernel, a, b, sc, dots: bool):
-    out_shape = [jax.ShapeDtypeStruct(a.shape, a.dtype),
-                 jax.ShapeDtypeStruct(a.shape, a.dtype)]
+def _launch2(kernel, a, b, sc, dots: bool, out_dtypes=None):
+    """out_dtypes: per-output dtypes (default both a.dtype). An output only
+    aliases its same-index input when the dtypes match (a narrower second
+    output — the bf16 pre-smooth iterate — streams unaliased at half the
+    bytes instead)."""
+    dts = out_dtypes or (a.dtype, a.dtype)
+    out_shape = [jax.ShapeDtypeStruct(a.shape, dts[0]),
+                 jax.ShapeDtypeStruct(a.shape, dts[1])]
     out_specs = [pl.BlockSpec(memory_space=pl.ANY),
                  pl.BlockSpec(memory_space=pl.ANY)]
     if dots:
         out_shape.append(jax.ShapeDtypeStruct((8, 128), a.dtype))
         out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    aliases = {}
+    if jnp.dtype(dts[0]) == a.dtype:
+        aliases[1] = 0
+    if jnp.dtype(dts[1]) == b.dtype:
+        aliases[2] = 1
     return pl.pallas_call(
         kernel,
         out_shape=tuple(out_shape),
@@ -600,7 +613,7 @@ def _launch2(kernel, a, b, sc, dots: bool):
                   pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=tuple(out_specs),
-        input_output_aliases={1: 0, 2: 1},
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2**20),
         cost_estimate=pl.CostEstimate(
             flops=20 * a.size,
@@ -646,41 +659,57 @@ def pupdate_matvec_stream(v: jax.Array, p_old: jax.Array, beta, zshift,
     return pnew, ap, pap
 
 
-@functools.partial(jax.jit, static_argnames=("deltas", "weight", "reverse"))
-def _zero_upd_stream(r, ap, sc, deltas, weight, reverse):
+@functools.partial(jax.jit, static_argnames=("deltas", "weight", "reverse",
+                                             "out_dtype"))
+def _zero_upd_stream(r, ap, sc, deltas, weight, reverse, out_dtype=None):
     """(b, x1, ||b||^2, sum(b)) with b = r - alpha*Ap and x1 the zero-guess
     red-black sweep for A x = b — the V-cycle's first kernel with CG's
     residual update fused in, b written through r's buffer and x1 through
-    Ap's (both die here in CG)."""
+    Ap's (both die here in CG).
+
+    `out_dtype` (e.g. bfloat16) narrows x1 — the MGConfig.pre_dtype
+    composition: the pre-smooth iterate's rounding is absorbed by the
+    full-precision residual that follows, so x1's write (and its reads in
+    the fused downward leg) cost half the bytes while b stays exact."""
     nx, ny, nz = r.shape
     invs = tuple(1.0 / float(d) ** 2 for d in deltas)
     winv = float(weight) / (-2.0 * sum(invs))
     colors = (1, 0) if reverse else (0, 1)
     T = _pick_T2(nx, ny, nz, r.dtype.itemsize, 1)
+    xdt = jnp.dtype(out_dtype) if out_dtype else r.dtype
 
     def update(re, ape, sc_ref, x0):
         a = sc_ref[0]
         be = re - a * ape                       # T+2 extended planes
         par = _parity_x((T + 2, ny, nz), x0 - 1)
-        dt = be.dtype.type
-        w1 = jnp.where(par == colors[0], dt(winv), dt(0.0))
-        x1 = _rb_halfstep(w1 * be, be[1:-1], (dt(winv) - w1)[1:-1], invs)
-        return be[1:-1], x1                     # (b -> r buf, x1 -> Ap buf)
+        # narrow x1: the whole sweep computes in the narrow dtype (bf16
+        # VPU math; a single trailing cast trips a Mosaic mask-relayout),
+        # b stays exact in r's precision
+        bes = be if xdt == be.dtype else be.astype(xdt)
+        dt = bes.dtype.type
+        from poissbox_tpu.ops.stencil_pallas import _color_weight
+        w1 = _color_weight(par, colors[0], winv, bes.dtype)
+        x1 = _rb_halfstep(w1 * bes, bes[1:-1], (dt(winv) - w1)[1:-1], invs)
+        return be[1:-1], x1                     # (b -> r buf, x1)
 
     def dotsfn(b_new, x1, re, ape):
         return jnp.sum(b_new * b_new), jnp.sum(b_new)
 
-    kernel = _make_kernel2(nx, ny, nz, T, 1, r.dtype, update, dots=dotsfn)
-    b_new, x1, d = _launch2(kernel, r, ap, sc, dots=True)
+    kernel = _make_kernel2(nx, ny, nz, T, 1, r.dtype, update, dots=dotsfn,
+                           out_dtypes=(r.dtype, xdt))
+    b_new, x1, d = _launch2(kernel, r, ap, sc, dots=True,
+                            out_dtypes=(r.dtype, xdt))
     return b_new, x1, d[0, 0], d[0, 1]
 
 
 def sor_rb_zero_update_stream(r: jax.Array, ap: jax.Array, alpha, deltas,
-                              weight: float, reverse: bool = False):
+                              weight: float, reverse: bool = False,
+                              out_dtype=None):
     """Aliased streaming form of sor_rb_zero_update_pallas (same returns)."""
     sc = jnp.reshape(jnp.asarray(alpha, r.dtype), (1,))
     return _zero_upd_stream(r, ap, sc, tuple(float(d) for d in deltas),
-                            float(weight), bool(reverse))
+                            float(weight), bool(reverse),
+                            jnp.dtype(out_dtype).name if out_dtype else None)
 
 
 def stream2_ok(shape, dtype) -> bool:

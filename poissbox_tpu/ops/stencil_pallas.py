@@ -121,6 +121,21 @@ def _parity(shape, i0, j0):
     return (ii + jj + kk) % 2
 
 
+def _color_weight(par, color, winv, dtype):
+    """Masked per-color weight field winv * (parity == color).
+
+    f32 uses the obvious select. Narrow dtypes use the arithmetic form
+    1 - (par + color) % 2 converted as a VALUE: Mosaic cannot relayout an
+    i1 mask from the 32-bit (8, 128) tiling of the iota compare to the
+    (16, 128) tiling a bf16 select needs ("Invalid relayout ... i1"),
+    while an i32->bf16 convert is a plain supported cast."""
+    dt = jnp.dtype(dtype)
+    if dt.itemsize == 4:
+        return jnp.where(par == color, dt.type(winv), dt.type(0.0))
+    sel = 1 - ((par + color) % 2)
+    return sel.astype(dt) * dt.type(winv)
+
+
 def _rb_halfstep(xe, be_c, w, invs):
     """One masked SOR half-step on the interior planes of a halo-extended
     slab: c + w * (be_c - star(xe)), where `w` is the per-color masked
@@ -192,7 +207,7 @@ def _sor_rb_kernel(prev2_ref, cur_ref, next2_ref, bp_ref, b_ref, bn_ref,
     # VPU cost)
     par = _parity((T + 2, ny, nz), i0 - 1, 0)
     dt = xe.dtype.type
-    w1 = jnp.where(par == colors[0], dt(winv_diag), dt(0.0))
+    w1 = _color_weight(par, colors[0], winv_diag, xe.dtype)
     x1 = _rb_halfstep(xe, be, w1, invs)
 
     # second color on the interior T planes
@@ -362,6 +377,8 @@ def _apply_dot(u, deltas, tiles):
         in_specs=[xplane(-1), blk, xplane(tx)],
         out_specs=(blk, pl.BlockSpec((8, 128), lambda i, j: (i, j),
                                      memory_space=vm)),
+        **_scoped_vmem([xplane(-1), blk, xplane(tx)], [blk],
+                       u.dtype.itemsize),
         cost_estimate=pl.CostEstimate(
             flops=11 * u.size, bytes_accessed=2 * u.size * u.dtype.itemsize,
             transcendentals=0),
@@ -610,6 +627,9 @@ def apply_laplacian_dot_pallas(u: jax.Array, deltas: Sequence[float]):
     tiles = _pick_tiles(u)
     d = tuple(float(x) for x in deltas)
     if tiles[1] != u.shape[1]:
+        big = _big_slab_tiles(u)
+        if big is not None:
+            return _apply_dot(u, d, big)
         slab = 16 if u.dtype.itemsize < 4 else 8
         if tiles[1] % slab:
             out = apply_laplacian_pallas(u, deltas)
@@ -653,7 +673,7 @@ def _sor_rb_zero_kernel(bp_ref, b_ref, bn_ref, out_ref, *, invs, winv_diag,
     be = jnp.concatenate([bp_ref[:], b_ref[:], bn_ref[:]], axis=0)  # T+2
     par = _parity((T + 2, ny, nz), i0 - 1, 0)
     dt = be.dtype.type
-    w1 = jnp.where(par == colors[0], dt(winv_diag), dt(0.0))
+    w1 = _color_weight(par, colors[0], winv_diag, be.dtype)
     x1 = w1 * be
     out_ref[:] = _rb_halfstep(x1, b_ref[:], (dt(winv_diag) - w1)[1:-1], invs)
 
@@ -719,7 +739,7 @@ def _sor_rb_zero_upd_kernel(sc, rp, rc, rn, app, apc, apn,
     bout_ref[:] = bc
     par = _parity((T + 2, ny, nz), i0 - 1, 0)
     dt = be.dtype.type
-    w1 = jnp.where(par == colors[0], dt(winv_diag), dt(0.0))
+    w1 = _color_weight(par, colors[0], winv_diag, be.dtype)
     x1 = w1 * be
     xout_ref[:] = _rb_halfstep(x1, bc, (dt(winv_diag) - w1)[1:-1], invs)
     _part00(rr_ref, jnp.sum(bc * bc))
@@ -770,7 +790,8 @@ def _sor_rb_zero_upd(r, ap, sc, deltas, weight, reverse, tile_x):
 
 def sor_rb_zero_update_pallas(r: jax.Array, ap: jax.Array, alpha,
                               deltas: Sequence[float], weight: float,
-                              reverse: bool = False, tile_x: int = 8):
+                              reverse: bool = False, tile_x: int = 8,
+                              out_dtype=None):
     """(b, x1, ||b||^2, sum(b)) where b = r - alpha*Ap and x1 is the
     zero-guess RB sweep for A x = b — CG's residual update fused into the
     V-cycle's first kernel.
@@ -778,11 +799,19 @@ def sor_rb_zero_update_pallas(r: jax.Array, ap: jax.Array, alpha,
     512^3-class grids take the ALIASED streaming form (b through r's
     buffer, x1 through Ap's — both die at this point of the CG iteration,
     so all four streams run in the fast same-buffer HBM regime: measured
-    4.20 vs 5.18 ms at 512^3, bench/exp_ledger512.py round 4)."""
+    4.20 vs 5.18 ms at 512^3, bench/exp_ledger512.py round 4).
+
+    `out_dtype` narrows x1 (MGConfig.pre_dtype composed with the fused
+    M-side path): half the x1 write bytes, and the fused downward-leg
+    kernels read it narrow."""
     from poissbox_tpu.ops import stencil_inplace
     if stencil_inplace.stream2_ok(r.shape, r.dtype):
         return stencil_inplace.sor_rb_zero_update_stream(
-            r, ap, alpha, deltas, weight, reverse)
+            r, ap, alpha, deltas, weight, reverse, out_dtype=out_dtype)
+    if out_dtype is not None and jnp.dtype(out_dtype) != r.dtype:
+        b_new, x1, rr, sr = sor_rb_zero_update_pallas(
+            r, ap, alpha, deltas, weight, reverse, tile_x)
+        return b_new, x1.astype(out_dtype), rr, sr
     plane = r.shape[1] * r.shape[2] * r.dtype.itemsize
     tx = tile_x
     # 4 block streams of (tx+2) planes, double-buffered by the pipeline,
@@ -867,6 +896,21 @@ def _sor_rb(u, b, deltas, weight, reverse, tile_x, dots=False):
 # public API
 # ---------------------------------------------------------------------------
 
+def _big_slab_tiles(u: jax.Array):
+    """Full-y x-slab tiles for the 1-2-stream read-dominated kernels on
+    large-plane grids where _pick_tiles falls to the paneled scheme:
+    measured faster at 512^3 (apply 3.32 vs 3.52 ms, exp_apply512_r4) —
+    the y-halo slabs' read amplification costs more than the bigger
+    blocks' scheduling. None when the plane is too large even for this
+    (the explicit reservation covers ~3 block streams only)."""
+    nx, ny, nz = u.shape
+    row = nz * u.dtype.itemsize
+    for t in (8, 4, 2):
+        if nx % t == 0 and (t + 2) * ny * row <= 24 * 2**20:
+            return t, ny
+    return None
+
+
 def apply_laplacian_pallas(u: jax.Array, deltas: Sequence[float],
                            tile_x: int = 8) -> jax.Array:
     """Periodic 7-point Laplacian via the tiled Pallas kernel.
@@ -877,6 +921,10 @@ def apply_laplacian_pallas(u: jax.Array, deltas: Sequence[float],
     y-panel adapts to the VMEM budget.
     """
     tiles = _pick_tiles(u)
+    if tiles[1] != u.shape[1]:
+        big = _big_slab_tiles(u)
+        if big is not None:
+            tiles = big
     return _apply(u, tuple(float(d) for d in deltas),
                   (min(tiles[0], tile_x), tiles[1]))
 
@@ -887,10 +935,13 @@ def _resid_xrestrict_kernel(up_ref, uc_ref, un_ref, bp_ref, bc_ref, bn_ref,
     planes (+1 halo each side) immediately x-restricted to Tc coarse
     planes — the full-size residual array never touches HBM. The y/z
     restriction runs on the half-size output via the MXU banded form
-    (solvers.mg.restrict_mm axes=(1, 2))."""
+    (solvers.mg.restrict_mm axes=(1, 2)). A narrower u (the bf16
+    pre-smooth iterate, MGConfig.pre_dtype) upcasts in-VMEM: the residual
+    math and output stay in b's precision."""
     star = functools.partial(_star_ext, invs=invs)
 
-    xe = jnp.concatenate([up_ref[:], uc_ref[:], un_ref[:]], axis=0)
+    xe = jnp.concatenate([up_ref[:], uc_ref[:], un_ref[:]],
+                         axis=0).astype(bc_ref.dtype)
     be = jnp.concatenate([bp_ref[:], bc_ref[:], bn_ref[:]], axis=0)
     r = be - star(xe)                      # 2*Tc+2 fine planes
     r0 = r[1:-1]
@@ -917,7 +968,7 @@ def _resid_xrestrict(u, b, deltas, tc):
     vm = pltpu.VMEM
     return pl.pallas_call(
         functools.partial(_resid_xrestrict_kernel, invs=invs),
-        out_shape=jax.ShapeDtypeStruct((nxc, ny, nz), u.dtype),
+        out_shape=jax.ShapeDtypeStruct((nxc, ny, nz), b.dtype),
         grid=(nxc // tc,),
         in_specs=(rx_in := [
             # u: 2*tc fine planes + 2-plane halos (2-plane block units)
@@ -938,7 +989,7 @@ def _resid_xrestrict(u, b, deltas, tc):
         ]),
         out_specs=(rx_out := pl.BlockSpec((tc, ny, nz), lambda i: (i, 0, 0),
                                           memory_space=vm)),
-        **_scoped_vmem(rx_in, [rx_out], u.dtype.itemsize),
+        **_scoped_vmem(rx_in, [rx_out], b.dtype.itemsize),
         cost_estimate=pl.CostEstimate(
             flops=12 * u.size,
             bytes_accessed=(2 * u.size + u.size // 2) * u.dtype.itemsize,
@@ -951,7 +1002,9 @@ def residual_xrestrict_pallas(u: jax.Array, b: jax.Array,
                               deltas: Sequence[float]) -> jax.Array:
     """(b - A u) restricted along x to (nx/2, ny, nz), one fused pass."""
     nx, ny, nz = u.shape
-    plane = ny * nz * u.dtype.itemsize
+    # size tiles by the WIDE dtype: a narrow (bf16 pre_dtype) u upcasts
+    # in-VMEM, so its stack cost is b-sized regardless of its HBM width
+    plane = ny * nz * b.dtype.itemsize
     tc = 8
     while tc > 1 and ((nx // 2) % tc or (10 * tc + 10) * plane > 48 * 2**20):
         tc //= 2
@@ -975,7 +1028,9 @@ def _xprolong_add_kernel(em_ref, ec_ref, ep_ref, u_ref, out_ref):
     odd = 0.75 * e + 0.25 * e_p                           # fine 2I+1
     tc, ny, nz = e.shape
     corr = jnp.stack([even, odd], axis=1).reshape(2 * tc, ny, nz)
-    out_ref[:] = u_ref[:] + corr
+    # a narrower u (bf16 pre-smooth iterate) upcasts in-VMEM; the
+    # corrected iterate is written in the correction's precision
+    out_ref[:] = u_ref[:].astype(corr.dtype) + corr
 
 
 @functools.partial(jax.jit, static_argnames=("tc",))
@@ -985,7 +1040,7 @@ def _xprolong_add(u, e, tc):
     vm = pltpu.VMEM
     return pl.pallas_call(
         _xprolong_add_kernel,
-        out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
+        out_shape=jax.ShapeDtypeStruct(u.shape, e.dtype),
         grid=(nxc // tc,),
         in_specs=(px_in := [
             pl.BlockSpec((1, ny, nz), lambda i: ((i * tc - 1) % nxc, 0, 0),
@@ -1000,8 +1055,8 @@ def _xprolong_add(u, e, tc):
         out_specs=(px_out := pl.BlockSpec((2 * tc, ny, nz),
                                           lambda i: (i, 0, 0),
                                           memory_space=vm)),
-        input_output_aliases={3: 0},
-        **_scoped_vmem(px_in, [px_out], u.dtype.itemsize),
+        input_output_aliases={3: 0} if u.dtype == e.dtype else {},
+        **_scoped_vmem(px_in, [px_out], e.dtype.itemsize),
         cost_estimate=pl.CostEstimate(
             flops=5 * u.size,
             bytes_accessed=(2 * u.size + u.size // 2) * u.dtype.itemsize,
@@ -1014,7 +1069,8 @@ def xprolong_add_pallas(u: jax.Array, e_yz: jax.Array) -> jax.Array:
     """u + P_x(e_yz) in one pass; e_yz is the y/z-prolonged coarse
     correction at shape (nx/2, ny, nz)."""
     nx, ny, nz = u.shape
-    plane = ny * nz * u.dtype.itemsize
+    # size tiles by the WIDE dtype (bf16 u upcasts in-VMEM)
+    plane = ny * nz * e_yz.dtype.itemsize
     tc = 8
     while tc > 1 and ((nx // 2) % tc or (8 * tc + 6) * plane > 48 * 2**20):
         tc //= 2

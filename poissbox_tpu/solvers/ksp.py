@@ -237,6 +237,15 @@ def solve(
     t_setup0 = _time.perf_counter()
     solver = make_solver(A, opts, shape, deltas, b.dtype, grid=grid)
     t_setup = _time.perf_counter() - t_setup0
+    # jit the WHOLE solve: an eager call still compiles the Krylov
+    # while-loop, but dispatches the setup algebra op by op — on a
+    # multi-device mesh every eager sharded op costs a GSPMD compile
+    # (measured: the 32^3 demo solve on the 8-device CPU mesh ran minutes
+    # eagerly, seconds jitted). SolveResult is a pure array pytree.
+    if x0 is None:
+        jsolver = jax.jit(lambda bb: solver(bb))
+    else:
+        jsolver = jax.jit(lambda bb, xx: solver(bb, xx))
     if opts.ksp_view:
         # `-ksp_view`: the assembled solver configuration, with the MG
         # cycle as RESOLVED (auto sweep counts, level stack), before the
@@ -244,7 +253,7 @@ def solve(
         print(view(opts, shape if shape is not None else
                    getattr(solver, "shape", None), getattr(solver, "M", None)))
     t0 = _time.perf_counter()
-    result = solver(b, x0)
+    result = jsolver(b) if x0 is None else jsolver(b, x0)
     jax.block_until_ready(result.x)
     t_solve = _time.perf_counter() - t0
     if log_view:

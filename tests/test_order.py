@@ -70,6 +70,7 @@ def test_compact_grad_sixth_order():
 
 
 class TestChebyshevSmoother:
+    @pytest.mark.slow
     def test_mgcg_with_chebyshev(self):
         from poissbox_tpu.ops.stencil import make_laplacian_operator
         from poissbox_tpu.solvers import cg

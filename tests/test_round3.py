@@ -343,6 +343,7 @@ class TestFusedCouplingDots:
         np.testing.assert_allclose(float(sv), float(jnp.sum(v0)),
                                    rtol=1e-8, atol=1e-12)
 
+    @pytest.mark.slow
     def test_cg_uses_it_and_converges_identically(self):
         from poissbox_tpu.solvers.cg import cg
         grid, A, M = self._setup()
@@ -538,6 +539,7 @@ class TestDeferredPUpdate:
         np.testing.assert_allclose(np.asarray(res.x), np.asarray(res0.x),
                                    rtol=1e-7, atol=1e-10)
 
+    @pytest.mark.slow
     def test_cg_deferred_preconditioned(self):
         from poissbox_tpu.solvers.cg import cg
         from poissbox_tpu.solvers.mg import MGConfig, make_mg_preconditioner
