@@ -50,7 +50,12 @@ def run(opts: Options) -> float:
                                   opts.get_int("devices", 8))
         except RuntimeError:
             pass  # backend already initialized
-    use_x64 = opts.get_bool("x64", jax.config.jax_enable_x64)
+    # The reference's numeric policy is double precision everywhere
+    # (pb_dp = kind(0.0d0), reference src/constants.f90:15), and its demo
+    # verifies residuals no f32 run can reach — default to x64 (opt out
+    # with `-x64 0` for TPU-fast f32 runs with an f32-reachable rtol;
+    # a 1e-8 rtol in f32 spins to max_it and reports a diverged solve).
+    use_x64 = opts.get_bool("x64", True)
     if use_x64 and not jax.config.jax_enable_x64:
         jax.config.update("jax_enable_x64", True)
 
