@@ -235,6 +235,7 @@ class TestFFTPreconditioner:
         assert int(res.iterations) <= 2
         assert float(jnp.max(jnp.abs(res.x - u))) < 1e-11
 
+    @pytest.mark.slow
     def test_compact_system_fft_preconditioned(self):
         # 6th-order compact system preconditioned by the 2nd-order exact
         # inverse (spectrally equivalent over resolved modes): a handful of

@@ -34,6 +34,7 @@ def test_refinement_reaches_f64_accuracy():
     assert err < 1e-10
 
 
+@pytest.mark.slow
 def test_refinement_history_monotone():
     n = 16
     grid = Grid3D((n, n, n))

@@ -83,6 +83,7 @@ class TestOptionsLeft:
         assert "log_view:   setup" in out and "log_view:   solve" in out
         assert "iterations" in out
 
+    @pytest.mark.slow
     def test_demo_errors_on_typo(self):
         # jacobi keeps the run cheap — the options-left check fires either
         # way, after the solve completes
@@ -329,6 +330,7 @@ class TestFusedCouplingDots:
         M = make_mg_preconditioner(grid.n, grid.deltas, MGConfig())
         return grid, A, M
 
+    @pytest.mark.slow
     def test_matches_plain_apply(self):
         grid, A, M = self._setup()
         assert M.apply_dots is not None
