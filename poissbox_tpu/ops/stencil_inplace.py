@@ -51,7 +51,8 @@ def _upd_jacobi(xe, be, i0, *, invs, winv):
     return xe[1:-1] + winv * (be - _star(xe, invs))
 
 
-def _make_kernel(nx, ny, nz, T, H, Hb, dtype, update, with_b, dots=False):
+def _make_kernel(nx, ny, nz, T, H, Hb, dtype, update, with_b, dots=False,
+                 gate_writes=True):
     """Build the manual-pipeline kernel body. `update(xe, be, x0)` maps the
     halo-extended u slab (T+2H planes) and b slab (T+2Hb planes) to the T
     output planes; x0 is the absolute x index of the first written plane.
@@ -136,10 +137,13 @@ def _make_kernel(nx, ny, nz, T, H, Hb, dtype, update, with_b, dots=False):
                 slot = jax.lax.rem(i, 2)
                 nxt = jax.lax.rem(i + 1, 2)
                 # the fetch for i was started in the previous iteration
-                # (or the prologue); its left-halo DMA was already waited
-                # there *except* for i == 0
-                @pl.when(i == 0)
-                def _():
+                # (or the prologue); under write gating its left-halo DMA
+                # was already waited there *except* for i == 0
+                if gate_writes:
+                    @pl.when(i == 0)
+                    def _():
+                        u_left(slot, i).wait()
+                else:
                     u_left(slot, i).wait()
                 u_body(slot, i).wait()
                 @pl.when(i < nb - 1)
@@ -167,13 +171,17 @@ def _make_kernel(nx, ny, nz, T, H, Hb, dtype, update, with_b, dots=False):
                            else bb[slot, Hb:Hb + T])
                     rv, sv = carry
                     carry = (rv + jnp.sum(xo * src), sv + jnp.sum(xo))
-                # start the next fetch, and gate this slab's write-back on
-                # the *left-halo* DMA of slab i+1 — the only later read
-                # that overlaps [iT, iT+T)
+                # start the next fetch, and (aliased kernels only) gate
+                # this slab's write-back on the *left-halo* DMA of slab
+                # i+1 — the only later read that overlaps [iT, iT+T).
+                # Out-of-place kernels skip the gate: the write conflicts
+                # with nothing, and serializing it behind a fetch wait
+                # stalls the pipeline for no benefit.
                 @pl.when(i + 1 < nb)
                 def _():
                     fetch(nxt, i + 1)
-                    u_left(nxt, i + 1).wait()
+                    if gate_writes:
+                        u_left(nxt, i + 1).wait()
                 write(slot, i).start()
                 return carry
 
@@ -390,7 +398,8 @@ def _lapl_stream(u, deltas, dots=False):
         return _star(xe, invs)
 
     kernel = _make_kernel(nx, ny, nz, T, 1, 0, u.dtype, update,
-                          with_b=False, dots="u" if dots else False)
+                          with_b=False, dots="u" if dots else False,
+                          gate_writes=False)
     out_shape = jax.ShapeDtypeStruct(u.shape, u.dtype)
     out_specs = pl.BlockSpec(memory_space=pl.ANY)
     if dots:
