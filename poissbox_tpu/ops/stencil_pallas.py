@@ -281,6 +281,13 @@ def _scoped_vmem(in_specs, out_specs, itemsize: int,
     specs = list(in_specs) + list(out_specs)
     bb = sum(int(np.prod(s.block_shape)) for s in specs
              if s.block_shape is not None) * itemsize
+    if itemsize < 4:
+        # narrow dtypes shift via slice+concat (tpu.dynamic_rotate is
+        # 32-bit-only), which keeps full-size temporaries live that the
+        # rotate form doesn't — the bf16 stencil stack measures ~2x the
+        # f32 estimate (observed: 22.4M on a 16M limit at 320^3 bf16)
+        est_factor *= 2.0
+        factor *= 2.0
     if int(est_factor * bb) <= 16 * 2**20:  # stack estimate fits the default
         return {}
     need = min(int(factor * bb), 100 * 2**20)

@@ -430,6 +430,15 @@ def _launch_fused(kernel, smem_lens, vmem_in, n_out, scratch, args,
     out_shape = tuple(jax.ShapeDtypeStruct(vmem_in[0].shape, dtype)
                       for _ in range(n_out))
     passes = len(vmem_in) + n_out
+    # scoped-vmem reservation (same policy as stencil_pallas._scoped_vmem):
+    # large-plane grids (640^3-class: n*ty*tz blocks of 2.6 MB) overflow
+    # the 16 MB default stack (observed 22.5M at 640^3)
+    nblk = len(vmem_in) + n_out + scratch
+    bb = nblk * n * ty * tz * dtype.itemsize
+    params = {}
+    if int(2.25 * bb) > 16 * 2**20:
+        params = {"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=min(6 * bb, 100 * 2**20))}
     return pl.pallas_call(
         kernel,
         out_shape=out_shape[0] if n_out == 1 else out_shape,
@@ -437,6 +446,7 @@ def _launch_fused(kernel, smem_lens, vmem_in, n_out, scratch, args,
         in_specs=[smem(le) for le in smem_lens] + [vblk] * len(vmem_in),
         out_specs=vblk if n_out == 1 else (vblk,) * n_out,
         scratch_shapes=[pltpu.VMEM((n, ty, tz), dtype)] * scratch,
+        **params,
         cost_estimate=pl.CostEstimate(
             flops=5 * passes * vmem_in[0].size,
             bytes_accessed=passes * vmem_in[0].size * dtype.itemsize,
