@@ -260,6 +260,26 @@ class TestWCycle:
         np.testing.assert_allclose(float(sv), float(jnp.sum(v)), rtol=1e-2,
                                    atol=1e-3 * scale)
 
+    def test_pre_dtype_auto_resolution(self):
+        # 512^3-class f32 defaults to the bf16 pre-smooth (the composed
+        # lever of CHANGELOG r4); explicit "float32" opts out; smaller
+        # grids and f64 setups stay untouched
+        M512 = make_mg_preconditioner((512,) * 3, (1 / 512.0,) * 3,
+                                      MGConfig(), dtype=jnp.float32)
+        assert M512.config.pre_dtype == "bfloat16"
+        assert getattr(M512, "apply_update_dots", None) is not None or \
+            jax.devices()[0].platform != "tpu"
+        Moff = make_mg_preconditioner((512,) * 3, (1 / 512.0,) * 3,
+                                      MGConfig(pre_dtype="float32"),
+                                      dtype=jnp.float32)
+        assert Moff.config.pre_dtype == "float32"
+        M256 = make_mg_preconditioner((256,) * 3, (1 / 256.0,) * 3,
+                                      MGConfig(), dtype=jnp.float32)
+        assert M256.config.pre_dtype == ""
+        M64 = make_mg_preconditioner((512,) * 3, (1 / 512.0,) * 3,
+                                     MGConfig(), dtype=jnp.float64)
+        assert M64.config.pre_dtype == ""
+
     def test_unknown_cycle_rejected(self):
         grid = Grid3D((8, 8, 8))
         M = make_mg_preconditioner(grid.n, grid.deltas,
