@@ -68,3 +68,63 @@ def test_sor_rb_zero_matches_sweep_from_zero(fields):
         got = sor_rb_zero_sweep_pallas(b, d, 1.0, reverse=reverse)
         # fma grouping differs between the two compilations -> f32 roundoff
         assert float(jnp.max(jnp.abs(got - want))) < 1e-9, reverse
+
+
+class TestStreamingKernels:
+    """Round-4 manual-pipeline kernels: the out-of-place streaming matvec
+    and the two-in/two-out ALIASED CG fusion kernels (interpret mode runs
+    the same DMA program a TPU runs)."""
+
+    def test_stream_matvec_matches_rolls(self, fields):
+        u, _, d = fields
+        want = apply_laplacian(u, d)
+        got = si.apply_laplacian_stream(u, d)
+        assert float(jnp.max(jnp.abs(got - want))) == 0.0
+
+    def test_stream_matvec_dot(self, fields):
+        u, _, d = fields
+        want = apply_laplacian(u, d)
+        got, dot = si.apply_laplacian_dot_stream(u, d)
+        assert float(jnp.max(jnp.abs(got - want))) == 0.0
+        ref = float(jnp.sum(u * want))
+        assert abs(float(dot) - ref) <= 1e-5 * abs(ref)
+
+    def test_pupdate_matvec_stream(self, fields):
+        u, b, d = fields
+        beta, zs = 0.7, 0.013
+        pn_want = (u - zs) + beta * b
+        ap_want = apply_laplacian(pn_want, d)
+        pn, ap, pap = si.pupdate_matvec_stream(u, b, beta, zs, d)
+        assert float(jnp.max(jnp.abs(pn - pn_want))) < 1e-6
+        scale = float(jnp.max(jnp.abs(ap_want)))
+        assert float(jnp.max(jnp.abs(ap - ap_want))) < 1e-6 * scale
+        ref = float(jnp.sum(pn_want * ap_want))
+        assert abs(float(pap) - ref) <= 1e-4 * abs(ref)
+
+    @pytest.mark.parametrize("out_dtype", [None, jnp.bfloat16])
+    def test_zero_update_stream(self, fields, out_dtype):
+        from poissbox_tpu.solvers.mg import MGConfig, _Level, _smooth_impl
+        u, b, d = fields
+        alpha = 0.37
+        b_want = u - alpha * b
+        n = u.shape[0]
+        lvl = _Level((n, n, n), d, -2.0 * sum(1.0 / dd**2 for dd in d))
+        cfg = MGConfig(smoother="sor", pre_smooth=1, post_smooth=1,
+                       impl="roll")
+        x1_want = _smooth_impl(None, b_want, lvl, cfg, 1, reverse=False)
+        b2, x1, rr, sr = si.sor_rb_zero_update_stream(
+            u, b, alpha, d, 1.0, out_dtype=out_dtype)
+        # the RHS stays exact in the input precision regardless of x1's
+        assert float(jnp.max(jnp.abs(b2 - b_want))) < 1e-6
+        ref_rr = float(jnp.sum(b_want * b_want))
+        assert abs(float(rr) - ref_rr) <= 1e-4 * ref_rr
+        if out_dtype is None:
+            assert x1.dtype == u.dtype
+            tol = 1e-6
+        else:
+            assert x1.dtype == jnp.dtype(out_dtype)
+            tol = 2e-2  # bf16 compute of the sweep
+        scale = float(jnp.max(jnp.abs(x1_want)))
+        err = float(jnp.max(jnp.abs(x1.astype(jnp.float64)
+                                    - x1_want.astype(jnp.float64))))
+        assert err <= tol * scale
