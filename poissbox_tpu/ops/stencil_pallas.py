@@ -1088,6 +1088,10 @@ def residual_pallas(u: jax.Array, b: jax.Array, deltas: Sequence[float],
                     tile_x: int = 8) -> jax.Array:
     """Fused residual r = b - A u (3 HBM passes instead of 5)."""
     tiles = _pick_tiles(u)
+    if tiles[1] != u.shape[1]:
+        big = _big_slab_tiles(u)
+        if big is not None:
+            tiles = big
     return _residual(u, b, tuple(float(d) for d in deltas),
                      (min(tiles[0], tile_x), tiles[1]))
 
