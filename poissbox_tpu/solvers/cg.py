@@ -211,7 +211,9 @@ def cg(
         ok = (pAp != 0.0) & (s.rz != 0.0)
         alpha = jnp.where(ok, s.rz / jnp.where(ok, pAp, 1.0), 0.0)
         if apply_upd_dots is not None:
-            x = s.x + alpha * p  # one XLA fusion pass
+            # NB the x-update is DEFERRED to sit adjacent to the p-update
+            # at the end of the body: both read p, so XLA sibling-fuses
+            # them into one pass over (x, p, v) — 5 streams instead of 6
             v, r, rr_k, sr_k, rv, sv = apply_upd_dots(s.r, Ap, alpha)
             sr = sr_k
             rr = None if natural else rr_k
@@ -264,6 +266,8 @@ def cg(
         hist = s.hist.at[k].set(resnorm)
         if monitor:
             emit_monitor(k, resnorm)
+        if apply_upd_dots is not None:
+            x = s.x + alpha * p  # fuses with the p-update below (shared p)
         if defer_p:
             # p' forms inside next iteration's fused matvec; carry its
             # ingredients instead of materializing it now

@@ -48,3 +48,27 @@ class TestProfiling:
         gb = bandwidth_gbps(lambda v: v + 1.0, jnp.ones((128, 128)),
                             lo=2, hi=10, reps=1)
         assert gb > 0
+
+
+def test_ksp_view_prints_resolved_configuration(capsys):
+    # `-ksp_view` (round 4): the assembled solver configuration with the
+    # RESOLVED MG cycle (auto sweep counts + level stack), printed before
+    # the solve like PETSc's KSPView
+    import jax.numpy as jnp
+
+    from poissbox_tpu.config import Options
+    from poissbox_tpu.mesh import Grid3D
+    from poissbox_tpu.ops.stencil import make_laplacian_operator
+    from poissbox_tpu.solvers.ksp import solve
+
+    g = Grid3D((16, 16, 16))
+    A = make_laplacian_operator(g)
+    b = A.project(jnp.ones(g.n).at[0, 0, 0].set(2.0))
+    solve(A, b, Options(["-ksp_type", "cg", "-pc_type", "mg",
+                         "-ksp_rtol", "1e-6", "-ksp_view"]),
+          shape=g.n, deltas=g.deltas)
+    out = capsys.readouterr().out
+    assert "KSP Object:" in out and "type: cg" in out
+    assert "cycle: V(3,3)" in out          # resolved auto sweeps at 16^3
+    assert "16x16x16 -> 8x8x8 -> 4x4x4" in out
+    assert "coarse solve: svd" in out
