@@ -82,8 +82,11 @@ def _rfftn_packed(u: Array) -> Array:
     ZN = jnp.conj(jnp.roll(jnp.flip(Z, -1), 1, -1))
     Ze = jnp.concatenate([Z, Z[..., :1]], -1)       # extend to k = n2
     ZNe = jnp.concatenate([ZN, ZN[..., :1]], -1)
-    k = jnp.arange(n2 + 1)
-    W = jnp.exp(-2j * np.pi * k / n).astype(Z.dtype)
+    # host-side twiddles (static n): the tunneled TPU backend cannot
+    # execute complex arithmetic eagerly, and a jit would constant-fold
+    # this anyway
+    W = jnp.asarray(np.exp(-2j * np.pi * np.arange(n2 + 1) / n),
+                    dtype=Z.dtype)
     U = 0.5 * (Ze + ZNe) - 0.5j * W * (Ze - ZNe)
     U = jnp.fft.fft(U, axis=1)
     return jnp.fft.fft(U, axis=0)
@@ -96,29 +99,19 @@ def _irfftn_packed(U: Array, n: int) -> Array:
     U = jnp.fft.ifft(U, axis=1)
     Uc = jnp.conj(jnp.flip(U, -1))                  # conj(U[n2 - k])
     E = (0.5 * (U + Uc))[..., :n2]
-    k = jnp.arange(n2)
-    W = jnp.exp(2j * np.pi * k / n).astype(U.dtype)
+    W = jnp.asarray(np.exp(2j * np.pi * np.arange(n2) / n),
+                    dtype=U.dtype)
     O = (0.5 * (U - Uc))[..., :n2] * W
     z = jnp.fft.ifft(E + 1j * O, axis=-1)
     out = jnp.stack([jnp.real(z), jnp.imag(z)], axis=-1)
     return out.reshape(U.shape[:-1] + (n,))
 
 
-def poisson_solve_fft(b: Array, deltas: Sequence[float]) -> Array:
-    """x = A^+ b for the periodic 7-point Laplacian, via FFTs.
-
-    Exact (to floating point) for any RHS; the null-space component of b
-    is annihilated, so the result is the minimal-norm solution — identical
-    semantics to the projected Krylov solves. Real-input transforms: CPU
-    uses jnp.fft.rfftn; TPU uses the packed-real form (_rfftn_packed —
-    XLA's native rfftn is broken there); odd last axes fall back to the
-    complex transform.
-    """
+def _poisson_solve_impl(b: Array, deltas: tuple) -> Array:
     shape = tuple(b.shape)
     on_cpu = jax.default_backend() == "cpu"
     use_half = on_cpu or shape[-1] % 2 == 0
-    inv = _inv_eigenvalues(shape, tuple(float(d) for d in deltas), b.dtype,
-                           rfft=use_half)
+    inv = _inv_eigenvalues(shape, deltas, b.dtype, rfft=use_half)
     cplx = jnp.complex64 if b.dtype == jnp.float32 else jnp.complex128
     if on_cpu:
         xhat = jnp.fft.rfftn(b) * inv.astype(cplx)
@@ -129,6 +122,23 @@ def poisson_solve_fft(b: Array, deltas: Sequence[float]) -> Array:
     bhat = jnp.fft.fftn(b)
     xhat = bhat * inv.astype(bhat.dtype)
     return jnp.fft.ifftn(xhat).real.astype(b.dtype)
+
+
+_poisson_solve_jit = jax.jit(_poisson_solve_impl, static_argnames="deltas")
+
+
+def poisson_solve_fft(b: Array, deltas: Sequence[float]) -> Array:
+    """x = A^+ b for the periodic 7-point Laplacian, via FFTs.
+
+    Exact (to floating point) for any RHS; the null-space component of b
+    is annihilated, so the result is the minimal-norm solution — identical
+    semantics to the projected Krylov solves. Real-input transforms: CPU
+    uses jnp.fft.rfftn; TPU uses the packed-real form (_rfftn_packed —
+    XLA's native rfftn is broken there); odd last axes fall back to the
+    complex transform. Jitted at the definition: the tunneled TPU backend
+    cannot execute complex primitives eagerly.
+    """
+    return _poisson_solve_jit(b, tuple(float(d) for d in deltas))
 
 
 # ---------------------------------------------------------------------------
