@@ -60,19 +60,13 @@ def _inv_eigenvalues(shape: tuple, deltas: tuple, dtype, rfft: bool):
     return jnp.where(eig != 0.0, 1.0 / jnp.where(eig != 0.0, eig, 1.0), 0.0)
 
 
-def _rfftn_packed(u: Array) -> Array:
-    """Real-input 3-D FFT (half spectrum, rfftn layout) built ONLY from
-    complex transforms: the classic pack-two/unpack trick along the last
-    axis — z_m = u[2m] + i u[2m+1], one half-length complex FFT, then the
-    Hermitian untangle — followed by complex FFTs along y and x on the
-    halved spectrum.
-
-    Why not jnp.fft.rfftn: XLA's real FFT mis-computes large transforms
-    on this TPU runtime (irfftn(rfftn(u)) max err 0.42 at 512^3, re-tested
-    round 4, while the complex transform is exact to 8e-8 relative). The
-    packed form uses only the correct complex FFT and still halves the
-    transform + downstream work (512^3 roundtrip: 91 ms vs 135 complex).
-    """
+def _rfft_last(u: Array) -> Array:
+    """Real-input FFT along the LAST axis via the pack-two/unpack trick:
+    z_m = u[2m] + i u[2m+1], one half-length complex FFT, Hermitian
+    untangle — output length n/2 + 1 (rfft layout), using only the
+    complex transform (XLA's native TPU rfft mis-computes large sizes:
+    max err 0.42 at 512^3, re-tested round 4; the complex FFT is exact
+    to 8e-8 relative)."""
     n = u.shape[-1]
     n2 = n // 2
     z = jax.lax.complex(u[..., 0::2], u[..., 1::2])
@@ -87,16 +81,12 @@ def _rfftn_packed(u: Array) -> Array:
     # this anyway
     W = jnp.asarray(np.exp(-2j * np.pi * np.arange(n2 + 1) / n),
                     dtype=Z.dtype)
-    U = 0.5 * (Ze + ZNe) - 0.5j * W * (Ze - ZNe)
-    U = jnp.fft.fft(U, axis=1)
-    return jnp.fft.fft(U, axis=0)
+    return 0.5 * (Ze + ZNe) - 0.5j * W * (Ze - ZNe)
 
 
-def _irfftn_packed(U: Array, n: int) -> Array:
-    """Inverse of :func:`_rfftn_packed` (last axis restored to length n)."""
+def _irfft_last(U: Array, n: int) -> Array:
+    """Inverse of :func:`_rfft_last` (last axis restored to length n)."""
     n2 = n // 2
-    U = jnp.fft.ifft(U, axis=0)
-    U = jnp.fft.ifft(U, axis=1)
     Uc = jnp.conj(jnp.flip(U, -1))                  # conj(U[n2 - k])
     E = (0.5 * (U + Uc))[..., :n2]
     W = jnp.asarray(np.exp(2j * np.pi * np.arange(n2) / n),
@@ -105,6 +95,23 @@ def _irfftn_packed(U: Array, n: int) -> Array:
     z = jnp.fft.ifft(E + 1j * O, axis=-1)
     out = jnp.stack([jnp.real(z), jnp.imag(z)], axis=-1)
     return out.reshape(U.shape[:-1] + (n,))
+
+
+def _rfftn_packed(u: Array) -> Array:
+    """Real-input 3-D FFT (half spectrum, rfftn layout): packed-real
+    transform along z (:func:`_rfft_last`), then complex FFTs along y and
+    x on the halved spectrum — ~half the work of a complex fftn (512^3
+    roundtrip: 91 ms vs 135)."""
+    U = _rfft_last(u)
+    U = jnp.fft.fft(U, axis=1)
+    return jnp.fft.fft(U, axis=0)
+
+
+def _irfftn_packed(U: Array, n: int) -> Array:
+    """Inverse of :func:`_rfftn_packed` (last axis restored to length n)."""
+    U = jnp.fft.ifft(U, axis=0)
+    U = jnp.fft.ifft(U, axis=1)
+    return _irfft_last(U, n)
 
 
 def _poisson_solve_impl(b: Array, deltas: tuple) -> Array:
@@ -183,13 +190,88 @@ def _spectral_solve_pencil(b: Array, grid, inv: Array) -> Array:
     return from_pencil(f, grid, from_dim=prev).real.astype(b.dtype)
 
 
+def _z_shard_product(grid) -> int:
+    """Product of mesh-axis sizes sharding array dim 2 in the grid's home
+    layout (the axes that shard the halved spectrum in y/x pencils)."""
+    spec = list(grid.spec) + [None] * (3 - len(grid.spec))
+    entry = spec[2]
+    if entry is None:
+        return 1
+    names = entry if isinstance(entry, tuple) else (entry,)
+    p = 1
+    for nm in names:
+        p *= grid.mesh.shape[nm]
+    return p
+
+
+def _packed_dist_ok(b: Array, grid) -> bool:
+    nz = b.shape[-1]
+    return nz % 2 == 0 and (nz // 2) % _z_shard_product(grid) == 0
+
+
+def _spectral_solve_pencil_packed(b: Array, grid, inv_half: Array) -> Array:
+    """Packed-real pencil spectral solve: the z transform runs as the
+    half-length packed-real FFT in Z-pencils, and everything downstream —
+    transposes AND y/x transforms — operates on the HALVED spectrum, so
+    the all-to-all bytes and transform work both drop ~2x vs the complex
+    path. The Nyquist plane (k_z = n/2) rides as a separate (nx, ny, 1)
+    array, REPLICATED once on every device (per-orientation resharding of
+    a length-1 dim trips GSPMD's involuntary-rematerialization fallback —
+    observed 7.5 MB of gathers at 64^3 — while one small gather plus
+    redundant tiny transforms is ~free)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from poissbox_tpu.parallel.pencil import from_pencil, pencil_spec, to_pencil
+
+    nz = b.shape[-1]
+    n2 = nz // 2
+
+    def pin(f, axis):
+        return jax.lax.with_sharding_constraint(
+            f, NamedSharding(grid.mesh, pencil_spec(grid, axis)))
+
+    repl = NamedSharding(grid.mesh, PartitionSpec())
+    cplx = jnp.complex64 if b.dtype == jnp.float32 else jnp.complex128
+    # Z-pencils: local packed-real transform along z
+    f = to_pencil(b, grid, 2, from_dim=None)
+    U = pin(_rfft_last(f).astype(cplx), 2)
+    body = U[..., :n2]
+    # the Nyquist plane: gather once (tiny), then every device carries it
+    nyq = jax.lax.with_sharding_constraint(U[..., n2:], repl)
+    prev = 2
+    for axis in (1, 0):
+        body = pin(jnp.fft.fft(to_pencil(body, grid, axis, from_dim=prev),
+                               axis=axis), axis)
+        nyq = jax.lax.with_sharding_constraint(
+            jnp.fft.fft(nyq, axis=axis), repl)
+        prev = axis
+    body = body * inv_half[..., :n2].astype(cplx)
+    nyq = nyq * inv_half[..., n2:].astype(cplx)
+    for axis in (0, 1):
+        body = pin(jnp.fft.ifft(to_pencil(body, grid, axis, from_dim=prev),
+                                axis=axis), axis)
+        nyq = jax.lax.with_sharding_constraint(
+            jnp.fft.ifft(nyq, axis=axis), repl)
+        prev = axis
+    body = to_pencil(body, grid, 2, from_dim=prev)
+    x = _irfft_last(jnp.concatenate([body, nyq], axis=-1), nz)
+    return from_pencil(pin(x.astype(b.dtype), 2), grid, from_dim=2)
+
+
 def poisson_solve_fft_dist(b: Array, grid) -> Array:
     """Distributed x = A^+ b for the periodic 7-point Laplacian: the exact
     direct solve at any device count (the reference's PETSc path has no
     direct solver at all; its distributed solves are Krylov-only,
-    reference src/poissbox.f90:293-296)."""
+    reference src/poissbox.f90:293-296). Uses the packed-real pencil path
+    (half the transpose bytes and transform work) when the halved
+    spectrum divides the z-sharding; complex pencils otherwise."""
     if grid.mesh is None or grid.mesh.size == 1:
         return poisson_solve_fft(b, grid.deltas)
+    if _packed_dist_ok(b, grid):
+        inv = _inv_eigenvalues(tuple(b.shape),
+                               tuple(float(d) for d in grid.deltas),
+                               b.dtype, rfft=True)
+        return _spectral_solve_pencil_packed(b, grid, inv)
     inv = _inv_eigenvalues(tuple(b.shape),
                            tuple(float(d) for d in grid.deltas),
                            b.dtype, rfft=False)
@@ -198,12 +280,17 @@ def poisson_solve_fft_dist(b: Array, grid) -> Array:
 
 def compact_poisson_solve_fft_dist(b: Array, grid) -> Array:
     """Distributed 6th-order compact Poisson direct solve (pencil FFTs +
-    the rational trigonometric symbol)."""
+    the rational trigonometric symbol); packed-real pencils when the
+    halved spectrum divides the z-sharding (the symbol is Hermitian, so
+    its half layout is a slice)."""
     if grid.mesh is None or grid.mesh.size == 1:
         return compact_poisson_solve_fft(b, grid.deltas)
     inv = compact_inv_eigenvalues(tuple(b.shape),
                                   tuple(float(d) for d in grid.deltas),
                                   b.dtype)
+    if _packed_dist_ok(b, grid):
+        return _spectral_solve_pencil_packed(
+            b, grid, inv[..., : b.shape[-1] // 2 + 1])
     return _spectral_solve_pencil(b, grid, inv)
 
 
