@@ -225,8 +225,14 @@ def _pick_T(nx, ny, nz, itemsize, H, Hb, budget=100 * 2**20):
     Accounts for the explicit buffers (double-buffered u/b/out slabs +
     wrap scratch) plus ~2 halo-extended temporaries the update body keeps
     live (residual + color mask; measured: the H=6 multisweep kernel at
-    512^3 with the naive accounting chose T=8 and overflowed VMEM by 47M)."""
+    512^3 with the naive accounting chose T=8 and overflowed VMEM by 47M).
+    Narrow dtypes get a halved budget: their slice+concat shift form
+    (32-bit-only rotates) spills registers proportional to the slab — a
+    bf16 512^3 double sweep at T=8 overflowed VMEM by 8.9M with 82M of
+    spill slots."""
     plane = ny * nz * itemsize
+    if itemsize < 4:
+        budget = budget // 2
     T = 16
     while T > 1:
         need = (2 * (T + 2 * H) + 2 * (T + 2 * Hb) + 2 * T + H
