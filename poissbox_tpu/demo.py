@@ -52,12 +52,19 @@ def run(opts: Options) -> float:
             pass  # backend already initialized
     # The reference's numeric policy is double precision everywhere
     # (pb_dp = kind(0.0d0), reference src/constants.f90:15), and its demo
-    # verifies residuals no f32 run can reach — default to x64 (opt out
-    # with `-x64 0` for TPU-fast f32 runs with an f32-reachable rtol;
-    # a 1e-8 rtol in f32 spins to max_it and reports a diverged solve).
-    use_x64 = opts.get_bool("x64", True)
+    # verifies residuals no f32 run can reach — default to x64 on CPU.
+    # TPU keeps the fast f32 path by default (x64 there is emulated and
+    # the x64-mode demo trips a JAX recursion on this runtime); an
+    # f32-unreachable rtol is WARNED about instead of silently spinning
+    # to max_it for minutes and reporting a diverged solve.
+    on_cpu = jax.devices()[0].platform == "cpu"
+    use_x64 = opts.get_bool("x64", on_cpu)
     if use_x64 and not jax.config.jax_enable_x64:
         jax.config.update("jax_enable_x64", True)
+    if not use_x64 and opts.get_float("ksp_rtol", 1.0e-5) < 1.0e-6:
+        print("WARNING: ksp_rtol below f32 reach without -x64 1 — "
+              "the solve will stop at DIVERGED_MAX_IT; use a looser rtol "
+              "or run on CPU/x64 for the reference's f64 verification")
 
     devices = jax.devices()
     print(f"poissbox_tpu demo: {len(devices)} device(s), "
