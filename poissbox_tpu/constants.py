@@ -28,3 +28,19 @@ def default_real() -> jnp.dtype:
 def epsilon(dtype=None) -> float:
     """Machine epsilon for `dtype` (defaults to the current default real)."""
     return float(jnp.finfo(dtype or default_real()).eps)
+
+
+def mosaic_ok(dtype) -> bool:
+    """True when `dtype` can run inside Pallas/Mosaic TPU kernels.
+
+    Mosaic has no f64 path (TPU hardware is f32/bf16; XLA *emulates* f64
+    for regular HLO but the kernel language cannot — lowering f64 trips an
+    unbounded `_convert_helper` recursion). Dispatch sites consult this so
+    x64-mode runs (the reference's `pb_dp` precision of record, reference
+    src/constants.f90:15) take the XLA-emulated paths on TPU instead of
+    crashing; f32/bf16 keep the fast Pallas kernels. Off-TPU (Pallas
+    interpret mode) every dtype is fine.
+    """
+    if jnp.dtype(dtype).itemsize <= 4:
+        return True
+    return jax.default_backend() != "tpu"

@@ -51,20 +51,24 @@ def run(opts: Options) -> float:
         except RuntimeError:
             pass  # backend already initialized
     # The reference's numeric policy is double precision everywhere
-    # (pb_dp = kind(0.0d0), reference src/constants.f90:15), and its demo
-    # verifies residuals no f32 run can reach — default to x64 on CPU.
-    # TPU keeps the fast f32 path by default (x64 there is emulated and
-    # the x64-mode demo trips a JAX recursion on this runtime); an
-    # f32-unreachable rtol is WARNED about instead of silently spinning
-    # to max_it for minutes and reporting a diverged solve.
-    on_cpu = jax.devices()[0].platform == "cpu"
-    use_x64 = opts.get_bool("x64", on_cpu)
+    # (pb_dp = kind(0.0d0), reference src/constants.f90:15) — the demo
+    # honors it on every backend: x64 is the default, on TPU via XLA's
+    # f64 emulation (the Pallas kernels are dtype-gated to the XLA paths
+    # there, see constants.mosaic_ok). `-x64 0` opts into the fast f32
+    # path; an f32-unreachable rtol is then CLAMPED to the dtype-reachable
+    # value with an explicit notice instead of silently spinning to
+    # DIVERGED_MAX_IT.
+    use_x64 = opts.get_bool("x64", True)
     if use_x64 and not jax.config.jax_enable_x64:
         jax.config.update("jax_enable_x64", True)
+    rtol_clamped = False
     if not use_x64 and opts.get_float("ksp_rtol", 1.0e-5) < 1.0e-6:
-        print("WARNING: ksp_rtol below f32 reach without -x64 1 — "
-              "the solve will stop at DIVERGED_MAX_IT; use a looser rtol "
-              "or run on CPU/x64 for the reference's f64 verification")
+        requested_rtol = opts.get_float("ksp_rtol", 1.0e-5)
+        opts.set("ksp_rtol", "1e-6")
+        rtol_clamped = True
+        print(f"NOTICE: -ksp_rtol {requested_rtol:g} is below f32 reach; "
+              "clamped to 1e-6 (run with -x64 1 — the default — for the "
+              "reference's f64 verification)")
 
     devices = jax.devices()
     print(f"poissbox_tpu demo: {len(devices)} device(s), "
@@ -95,11 +99,20 @@ def run(opts: Options) -> float:
     x_exact = A.project(grid.random(key))      # random in [-1, 1], mean-free
     b = A(x_exact)
 
-    # check_lapl: matvec vs independent pointwise formulation
-    delta = jnp.linalg.norm((b - apply_laplacian_pointwise(x_exact, grid.deltas)).ravel())
-    print(f"check_lapl: ||matvec - pointwise||_2 = {float(delta):.3e}")
+    # check_lapl: matvec vs independent pointwise formulation. The delta is
+    # printed WITH its scale and tolerance: the raw 2-norm grows as
+    # eps/dx^2 * sqrt(ndof), so an absolute number (e.g. 4e-2 at 256^3 f32)
+    # reads like a failure when it is rounding noise.
+    delta = float(jnp.linalg.norm(
+        (b - apply_laplacian_pointwise(x_exact, grid.deltas)).ravel()))
     tol = 1000 * float(jnp.finfo(b.dtype).eps)
-    assert float(delta) < tol * float(jnp.linalg.norm(b.ravel())) + tol
+    b_scale = float(jnp.linalg.norm(b.ravel()))
+    bound = tol * b_scale + tol
+    ok = delta < bound
+    print(f"check_lapl: ||matvec - pointwise||_2 = {delta:.3e} "
+          f"(relative {delta / b_scale:.3e}, tol {bound:.3e} "
+          f"= 1000*eps*||b||) — {'ok' if ok else 'FAIL'}")
+    assert ok
 
     # check_matrices: every operator view must agree — matrix-free
     # formulations AND the assembled StencilMatrix, like the reference's
@@ -109,13 +122,18 @@ def run(opts: Options) -> float:
     views = {"pointwise": make_laplacian_operator(grid, impl="pointwise"),
              "roll": make_laplacian_operator(grid, impl="roll"),
              "assembled": assemble_laplacian(grid.n, grid.deltas, b.dtype)}
-    if devices[0].platform == "tpu" and (grid.mesh is None
-                                         or grid.mesh.size == 1):
+    from poissbox_tpu.constants import mosaic_ok
+    if (devices[0].platform == "tpu" and mosaic_ok(b.dtype)
+            and (grid.mesh is None or grid.mesh.size == 1)):
+        # Pallas view only for Mosaic-lowerable dtypes (f64 has none)
         views["pallas"] = make_laplacian_operator(grid, impl="pallas")
+    ax_scale = float(jnp.linalg.norm(Ax.ravel()))
     for name, Ai in views.items():
         d = float(jnp.linalg.norm((Ax - Ai(x_exact)).ravel()))
-        print(f"check_matrices[{name}]: ||A x - P x||_2 = {d:.3e}")
-        assert d < tol * float(jnp.linalg.norm(Ax.ravel())) + tol, (name, d)
+        print(f"check_matrices[{name}]: ||A x - P x||_2 = {d:.3e} "
+              f"(relative {d / ax_scale:.3e}, tol {tol:.1e}) — "
+              f"{'ok' if d < tol * ax_scale + tol else 'FAIL'}")
+        assert d < tol * ax_scale + tol, (name, d)
 
     # -- solve (reference example.f90:78-84) -------------------------------
     if not opts.has("ksp_type"):
@@ -124,7 +142,9 @@ def run(opts: Options) -> float:
         opts.set("pc_type", "mg")
     sopts = SolverOptions.from_options(opts)
     t0 = time.perf_counter()
-    res = solve(A, b, sopts, grid=grid)
+    # pass the options DB itself so DB-level flags (-log_view,
+    # -options_left, ...) reach the KSP layer, as in PETSc
+    res = solve(A, b, opts, grid=grid)
     jax.block_until_ready(res.x)
     dt = time.perf_counter() - t0
 
@@ -135,7 +155,8 @@ def run(opts: Options) -> float:
           f"({sopts.ksp_type}+{sopts.pc_type})")
     # -ksp_converged_reason analogue (reference README.md:48-49): surface a
     # stalled solve (e.g. rtol below f32 reach) instead of silently passing
-    print(f"converged reason: {res.reason_enum().message}")
+    clamped_note = " (rtol clamped to f32 reach)" if rtol_clamped else ""
+    print(f"converged reason: {res.reason_enum().message}{clamped_note}")
     print(f"verification: ||Ax - b||_2 = {true_res:.6e} "
           f"(relative {true_res / b_norm:.3e}), ||x - x_exact||_2 = {err:.3e}")
 

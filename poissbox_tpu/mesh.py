@@ -120,6 +120,44 @@ class Grid3D:
         return jnp.meshgrid(*axes, indexing="ij")
 
     # -- distribution ------------------------------------------------------
+    @property
+    def pgrid(self) -> tuple[int, int, int]:
+        """Device counts per grid axis (1,1,1 when unmeshed)."""
+        if self.mesh is None:
+            return (1, 1, 1)
+        return tuple(self.mesh.shape[name] for name in self.axis_names)
+
+    @property
+    def uneven(self) -> bool:
+        """True when some sharded axis does not divide evenly — fields then
+        use the padded layout of `parallel.uneven` (PETSc's DMDA handles
+        any rank count, reference src/poissbox.f90:191-200; this is the
+        TPU-native equivalent)."""
+        return any(nd % p for nd, p in zip(self.n, self.pgrid))
+
+    @property
+    def padded_n(self) -> tuple[int, int, int]:
+        """Stored field shape: `p * ceil(n/p)` per sharded axis (= n when
+        the decomposition divides)."""
+        if not self.uneven:
+            return tuple(self.n)
+        from poissbox_tpu.parallel.uneven import padded_shape
+        return padded_shape(self.n, self.pgrid)
+
+    def valid_mask(self, dtype=None) -> jax.Array:
+        """0/1 mask of the padded shape marking owned (valid) cells."""
+        from poissbox_tpu.constants import default_real
+        from poissbox_tpu.parallel.uneven import valid_mask
+        return self.shard(valid_mask(self, dtype or default_real()))
+
+    def unshard(self, f: jax.Array) -> jax.Array:
+        """Gather a (possibly padded) field back to the logical shape —
+        the inverse of :meth:`shard` for user-facing output."""
+        if self.uneven and tuple(f.shape) == self.padded_n:
+            from poissbox_tpu.parallel.uneven import from_padded
+            return from_padded(f, self)
+        return f
+
     def with_mesh(self, mesh: Optional[Mesh] = None,
                   devices: Optional[Sequence[jax.Device]] = None) -> "Grid3D":
         """Attach a device mesh; if none given, decompose over all devices
@@ -145,8 +183,19 @@ class Grid3D:
         return NamedSharding(self.mesh, self.spec)
 
     def shard(self, f: jax.Array) -> jax.Array:
-        """Place a global field according to the grid's sharding."""
-        return f if self.mesh is None else jax.device_put(f, self.sharding)
+        """Place a global field according to the grid's sharding.
+
+        On an uneven decomposition a logical-(nx,ny,nz) field is first
+        scattered into the padded layout (pads zero) so every device holds
+        exactly its owned box plus padding — execution ownership matches
+        `dof_counts()` (the reference's 90112/86016/86016 on 3 ranks,
+        reference README.md:25-33)."""
+        if self.mesh is None:
+            return f
+        if self.uneven and tuple(f.shape) == tuple(self.n):
+            from poissbox_tpu.parallel.uneven import to_padded
+            f = to_padded(f, self)
+        return jax.device_put(f, self.sharding)
 
     def dof_counts(self) -> list[int]:
         """Per-device DoF counts — the reference README's rank report
@@ -159,7 +208,7 @@ class Grid3D:
     # -- field constructors -------------------------------------------------
     def zeros(self, dtype=None) -> jax.Array:
         from poissbox_tpu.constants import default_real
-        return self.shard(jnp.zeros(self.n, dtype or default_real()))
+        return self.shard(jnp.zeros(self.padded_n, dtype or default_real()))
 
     def random(self, key: jax.Array, dtype=None, minval=-1.0, maxval=1.0) -> jax.Array:
         """Uniform random field in [minval, maxval) — the demo's set_solution

@@ -106,7 +106,11 @@ def _toeplitz_factor(n: int, alpha: float, dtype_name: str, method: str):
     return fac
 
 
-def _default_method() -> str:
+def _default_method(dtype=None) -> str:
+    if dtype is not None:
+        from poissbox_tpu.constants import mosaic_ok
+        if not mosaic_ok(dtype):
+            return "pscan"  # f64 (x64 mode): Mosaic has no f64 lowering
     return "pallas" if jax.devices()[0].platform == "tpu" else "pscan"
 
 
@@ -114,7 +118,7 @@ def _apply_compact(f: Array, coeffs: CompactCoeffs, stagger: int, axis: int,
                    method: str = "auto") -> Array:
     n = f.shape[axis]
     if method == "auto":
-        method = _default_method()
+        method = _default_method(f.dtype)
     if method == "pallas" and f.size // n < 1024:
         method = "pscan"  # batch too small to feed the kernel's tiles
     if method == "pallas" and f.ndim == 3:
@@ -215,7 +219,9 @@ def _pfac(n: int, alpha: float, dtype):
 
 
 def _fused_ok(f: Array, method: str) -> bool:
+    from poissbox_tpu.constants import mosaic_ok
     return (_use_layout_cycling(method) and f.ndim == 3
+            and mosaic_ok(f.dtype)        # fused kernels are Pallas-only
             and f.size // f.shape[0] >= 1024)
 
 

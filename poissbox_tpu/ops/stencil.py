@@ -69,15 +69,20 @@ def apply_laplacian_pointwise(u: jax.Array, deltas: Sequence[float]) -> jax.Arra
     return out
 
 
-def default_impl(shape, mesh=None) -> str:
+def default_impl(shape, mesh=None, dtype=None) -> str:
     """Pick the stencil implementation: 'dist' (shard_map + ppermute halos,
     per-device Pallas/roll bulk kernel) on a multi-device mesh, the Pallas
     kernel on a single TPU device with large-enough planes, the XLA roll
-    formulation otherwise."""
+    formulation otherwise. f64 fields (x64 mode — the reference's pb_dp
+    precision of record) never take Pallas: Mosaic has no f64 lowering, so
+    they run on XLA's emulated-f64 roll path."""
+    from poissbox_tpu.constants import default_real, mosaic_ok
+
     if mesh is not None and mesh.size > 1:
         return "dist"
     on_tpu = jax.devices()[0].platform == "tpu"
-    return "pallas" if (on_tpu and min(shape) >= 16) else "roll"
+    ok = mosaic_ok(dtype if dtype is not None else default_real())
+    return "pallas" if (on_tpu and ok and min(shape) >= 16) else "roll"
 
 
 def make_laplacian_operator(grid, impl: str = "auto"):
@@ -97,10 +102,13 @@ def make_laplacian_operator(grid, impl: str = "auto"):
     deltas = grid.deltas
     if impl == "auto":
         impl = default_impl(grid.n, grid.mesh)
+    if impl == "dist" and getattr(grid, "uneven", False):
+        impl = "uneven"  # non-divisible decomposition: padded layout
     apply_dot = None
     local_pallas = False
     fused_update = None
     pupdate_apply_dot = None
+    nullspace = make_nullspace_projector()
     if impl == "roll":
         apply = lambda u: apply_laplacian(u, deltas)
     elif impl == "pointwise":
@@ -125,6 +133,17 @@ def make_laplacian_operator(grid, impl: str = "auto"):
         # and x-updates (both read p) into cheaper fusions than the
         # deferred loop allows. Kernel + cg's deferred-p path stay tested.
         local_pallas = True
+    elif impl == "uneven":
+        # pad-and-mask execution for decompositions that do not divide the
+        # grid (PETSc DMDA parity: 64^3 on 3 ranks, reference
+        # README.md:25-33); explicit masked projector — the folded
+        # rank-one projection in the solvers assumes the even layout
+        from poissbox_tpu.parallel.uneven import (
+            apply_laplacian_uneven,
+            make_masked_projector,
+        )
+        apply = lambda u: apply_laplacian_uneven(u, grid)
+        nullspace = make_masked_projector(grid)
     elif impl == "dist":
         if grid.mesh is None:
             raise ValueError("impl='dist' needs a grid with a device mesh")
@@ -149,7 +168,7 @@ def make_laplacian_operator(grid, impl: str = "auto"):
     return LinearOperator(
         apply=apply,
         diagonal=lambda: jnp.asarray(diag_val),
-        nullspace=make_nullspace_projector(),
+        nullspace=nullspace,
         symmetric=True,
         apply_dot=apply_dot,
         local_pallas=local_pallas,

@@ -124,8 +124,13 @@ def _apply_corrections(out: jax.Array, diffs: dict, invs, scale=1.0,
     return out
 
 
+def _mosaic_ok(dtype) -> bool:
+    from poissbox_tpu.constants import mosaic_ok
+    return mosaic_ok(dtype)
+
+
 def _local_lapl(block, deltas, local_impl):
-    if local_impl == "pallas":
+    if local_impl == "pallas" and _mosaic_ok(block.dtype):
         from poissbox_tpu.ops.stencil_pallas import apply_laplacian_pallas
         return apply_laplacian_pallas(block, deltas)
     return apply_laplacian(block, deltas)
@@ -192,7 +197,7 @@ def apply_laplacian_dot_sharded(u: jax.Array, grid,
 
     def _apply(block):
         diffs = _halo_diffs(block, mesh, names)
-        if impl == "pallas":
+        if impl == "pallas" and _mosaic_ok(block.dtype):
             from poissbox_tpu.ops.stencil_pallas import (
                 apply_laplacian_dot_pallas,
             )
@@ -229,7 +234,7 @@ def cg_fused_update_sharded(alpha, x: jax.Array, p: jax.Array, r: jax.Array,
                  and mesh.shape[n] > 1)
 
     def _upd(a, xb, pb, rb, apb):
-        if impl == "pallas":
+        if impl == "pallas" and _mosaic_ok(xb.dtype):
             from poissbox_tpu.ops.stencil_pallas import cg_fused_update
             xo, ro, rr, sr = cg_fused_update(a, xb, pb, rb, apb)
         else:
@@ -262,7 +267,7 @@ def residual_sharded(x: jax.Array, b: jax.Array, grid,
 
     def _res(xb, bb):
         diffs = _halo_diffs(xb, mesh, names)
-        if impl == "pallas":
+        if impl == "pallas" and _mosaic_ok(xb.dtype):
             from poissbox_tpu.ops.stencil_pallas import residual_pallas
             r = residual_pallas(xb, bb, deltas)
         else:
@@ -289,7 +294,7 @@ def jacobi_sweep_sharded(x: jax.Array, b: jax.Array, grid, weight: float,
 
     def _sweep(xb, bb):
         diffs = _halo_diffs(xb, mesh, names)
-        if impl == "pallas":
+        if impl == "pallas" and _mosaic_ok(xb.dtype):
             from poissbox_tpu.ops.stencil_pallas import jacobi_sweep_pallas
             out = jacobi_sweep_pallas(xb, bb, deltas, weight)
         else:
@@ -335,7 +340,7 @@ def sor_sweep_sharded(x: jax.Array, b: jax.Array, grid, weight: float,
 
     def _sweep(xb, bb):
         diffs = _halo_diffs(xb, mesh, names)
-        if impl == "pallas":
+        if impl == "pallas" and _mosaic_ok(xb.dtype):
             from poissbox_tpu.ops.stencil_pallas import sor_sweep_pallas
             out = sor_sweep_pallas(xb, bb, deltas, weight, color)
         else:

@@ -41,6 +41,43 @@ class _OuterState(NamedTuple):
     hist: Array
 
 
+def _basis_budget_bytes() -> int:
+    """HBM budget for the Krylov basis: a quarter of the device memory
+    when discoverable, 4 GB otherwise. The (m+1, *field) basis is GMRES's
+    dominant allocation; capping it at a fraction leaves room for the
+    operator's own working set and XLA temporaries."""
+    try:
+        stats = jax.devices()[0].memory_stats()
+        limit = int(stats.get("bytes_limit", 0))
+        if limit > 0:
+            return limit // 4
+    except Exception:
+        pass
+    return 4 << 30
+
+
+def clamp_restart(restart: int, b: Array, budget_bytes=None) -> int:
+    """Auto-shrink the restart length so the stacked basis fits the budget.
+
+    PETSc's GMRES(30) default (the reference's implicit default KSP,
+    reference src/poissbox.f90:295) allocates 31 field-sized vectors — at
+    512^3 f32 that is ~16.6 GB, over a v5e chip's HBM. Rather than OOM,
+    shrink m to the largest affordable value and warn (more restarts, same
+    convergence semantics)."""
+    import warnings
+
+    budget = _basis_budget_bytes() if budget_bytes is None else int(budget_bytes)
+    field = int(b.size) * b.dtype.itemsize
+    max_m = max(1, budget // max(field, 1) - 1)
+    if restart > max_m:
+        warnings.warn(
+            f"gmres: restart {restart} needs {(restart + 1) * field / 2**30:.1f}"
+            f" GiB of Krylov basis (> {budget / 2**30:.1f} GiB budget); "
+            f"shrunk to restart={max_m}", RuntimeWarning, stacklevel=3)
+        return max_m
+    return restart
+
+
 def gmres(
     A: LinearOperator,
     b: Array,
@@ -60,8 +97,11 @@ def gmres(
     iteration. `monitor=True` streams a `-ksp_monitor` line per inner
     iteration from inside the jitted Arnoldi loop (live — the Givens
     recurrence exposes the residual without forming the iterate).
+
+    The restart length is auto-shrunk when the (restart+1)-vector Krylov
+    basis would blow the HBM budget (see :func:`clamp_restart`).
     """
-    m = int(restart)
+    m = clamp_restart(int(restart), b)
     x = jnp.zeros_like(b) if x0 is None else x0
     b = A.project(b)
     x = A.project(x)

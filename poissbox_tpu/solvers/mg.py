@@ -139,16 +139,21 @@ class _Level:
     mesh: Optional[object] = None
 
 
-def _use_pallas(lvl: _Level, cfg: MGConfig) -> bool:
+def _use_pallas(lvl: _Level, cfg: MGConfig, dtype=None) -> bool:
     """Single-device Pallas selection. Distributed levels (lvl.grid) never
     take this path — their per-device kernel choice happens inside
     parallel.dist_stencil under shard_map, where pallas_call is legal on a
-    real multi-chip mesh."""
+    real multi-chip mesh. f64 levels (x64 mode) never take it either:
+    Mosaic cannot lower f64 (see constants.mosaic_ok)."""
     if lvl.grid is not None:
         return False
+    if dtype is not None:
+        from poissbox_tpu.constants import mosaic_ok
+        if not mosaic_ok(dtype):
+            return False
     impl = cfg.impl
     if impl == "auto":
-        impl = default_impl(lvl.shape)
+        impl = default_impl(lvl.shape, dtype=dtype)
     return impl == "pallas"
 
 
@@ -157,24 +162,34 @@ def _local_impl(cfg: MGConfig) -> str:
     return cfg.impl if cfg.impl in ("roll", "pallas") else "auto"
 
 
+def _is_uneven(lvl: _Level) -> bool:
+    return lvl.grid is not None and getattr(lvl.grid, "uneven", False)
+
+
 def _lapl(x: Array, lvl: _Level, cfg: MGConfig) -> Array:
     """Level-operator application: distributed correction-form on sharded
     levels, tiled Pallas kernel on single-device TPU, GSPMD rolls else."""
+    if _is_uneven(lvl):
+        from poissbox_tpu.parallel.uneven import apply_laplacian_uneven
+        return apply_laplacian_uneven(x, lvl.grid)
     if lvl.grid is not None:
         from poissbox_tpu.parallel.dist_stencil import apply_laplacian_sharded
         return apply_laplacian_sharded(x, lvl.grid,
                                        local_impl=_local_impl(cfg))
-    if _use_pallas(lvl, cfg):
+    if _use_pallas(lvl, cfg, x.dtype):
         from poissbox_tpu.ops.stencil_pallas import apply_laplacian_pallas
         return apply_laplacian_pallas(x, lvl.deltas)
     return apply_laplacian(x, lvl.deltas)
 
 
 def _residual(x: Array, b: Array, lvl: _Level, cfg: MGConfig) -> Array:
+    if _is_uneven(lvl):
+        from poissbox_tpu.parallel.uneven import residual_uneven
+        return residual_uneven(x, b, lvl.grid)
     if lvl.grid is not None:
         from poissbox_tpu.parallel.dist_stencil import residual_sharded
         return residual_sharded(x, b, lvl.grid, local_impl=_local_impl(cfg))
-    if _use_pallas(lvl, cfg):
+    if _use_pallas(lvl, cfg, b.dtype):
         from poissbox_tpu.ops.stencil_pallas import residual_pallas
         return residual_pallas(x, b, lvl.deltas)
     return b - apply_laplacian(x, lvl.deltas)
@@ -202,10 +217,17 @@ def _build_levels(shape, deltas, cfg: MGConfig, grid=None) -> list[_Level]:
     mesh = getattr(grid, "mesh", None)
     if mesh is not None and mesh.size == 1:
         mesh = None
+    uneven_fine = (mesh is not None and grid is not None
+                   and getattr(grid, "uneven", False))
     while True:
         diag = -2.0 * sum(1.0 / dd**2 for dd in d)
         lgrid = None
-        if mesh is not None and _level_shardable(n, grid):
+        if uneven_fine and not levels:
+            # non-divisible decomposition: the fine level runs distributed
+            # in the padded layout; coarser levels run replicated — the
+            # GAMG-style process-count reduction, here taken at level 1
+            lgrid = grid
+        elif mesh is not None and _level_shardable(n, grid):
             lgrid = _dc.replace(grid, n=n)
         levels.append(_Level(n, d, diag, grid=lgrid, mesh=mesh))
         stop_size = min(n) <= cfg.coarse_size
@@ -357,7 +379,7 @@ def _smooth_impl(x: Optional[Array], b: Array, lvl: _Level, cfg: MGConfig,
         # included), or the cycle loses its transpose pairing
         return jnp.zeros_like(b) if x is None else x
     inv_diag = 1.0 / lvl.diag
-    pallas = _use_pallas(lvl, cfg)
+    pallas = _use_pallas(lvl, cfg, b.dtype)
     dist = lvl.grid is not None
     if cfg.smoother == "jacobi":
         w = 8.0 / 9.0 if cfg.damping is None else cfg.damping
@@ -365,6 +387,11 @@ def _smooth_impl(x: Optional[Array], b: Array, lvl: _Level, cfg: MGConfig,
             x = (w * inv_diag) * b      # first sweep from zero, closed form
             sweeps -= 1
         if dist:
+            if _is_uneven(lvl):
+                from poissbox_tpu.parallel.uneven import jacobi_sweep_uneven
+                for _ in range(sweeps):
+                    x = jacobi_sweep_uneven(x, b, lvl.grid, w)
+                return x
             from poissbox_tpu.parallel.dist_stencil import jacobi_sweep_sharded
             for _ in range(sweeps):
                 x = jacobi_sweep_sharded(x, b, lvl.grid, w,
@@ -427,11 +454,24 @@ def _smooth_impl(x: Optional[Array], b: Array, lvl: _Level, cfg: MGConfig,
         if x is None:
             # first color from zero in closed form (one elementwise pass),
             # leaving the sweep's second color to the stencil kernels
-            red = _color_mask(lvl.shape, b.dtype)
-            m0 = red if order[0] == 0 else 1.0 - red
+            if _is_uneven(lvl):
+                from poissbox_tpu.parallel.uneven import color_mask
+                m0 = color_mask(lvl.grid, order[0], b.dtype)
+            else:
+                red = _color_mask(lvl.shape, b.dtype)
+                m0 = red if order[0] == 0 else 1.0 - red
             x = (w * inv_diag) * m0 * b
             half = True
         if dist:
+            if _is_uneven(lvl):
+                from poissbox_tpu.parallel.uneven import sor_sweep_uneven
+                if half:
+                    x = sor_sweep_uneven(x, b, lvl.grid, w, order[1])
+                    sweeps -= 1
+                for _ in range(sweeps):
+                    for color in order:
+                        x = sor_sweep_uneven(x, b, lvl.grid, w, color)
+                return x
             from poissbox_tpu.parallel.dist_stencil import sor_sweep_sharded
             if half:
                 x = sor_sweep_sharded(x, b, lvl.grid, w, order[1],
@@ -534,7 +574,8 @@ def _coarse_correct(levels: Sequence[_Level], coarse_pinv: Array,
     return ec
 
 
-def _fused_leg(levels: Sequence[_Level], cfg: MGConfig, idx: int) -> bool:
+def _fused_leg(levels: Sequence[_Level], cfg: MGConfig, idx: int,
+               dtype=None) -> bool:
     """True when level `idx` takes the fused Pallas downward/upward leg of
     _v_cycle_rest (residual+x-restrict / x-prolong+add kernels) — the path
     that can consume a narrow (pre_dtype) pre-smooth iterate directly."""
@@ -546,7 +587,7 @@ def _fused_leg(levels: Sequence[_Level], cfg: MGConfig, idx: int) -> bool:
         tr = "matmul" if jax.devices()[0].platform == "tpu" else "roll"
     if lvl.grid is not None or levels[idx + 1].grid is not None:
         tr = "roll"
-    return tr == "matmul" and _use_pallas(lvl, cfg)
+    return tr == "matmul" and _use_pallas(lvl, cfg, dtype)
 
 
 def v_cycle(levels: Sequence[_Level], coarse_pinv: Array, cfg: MGConfig,
@@ -572,7 +613,7 @@ def v_cycle(levels: Sequence[_Level], coarse_pinv: Array, cfg: MGConfig,
         # other paths cast back before the mixed-dtype ops they lack.
         x = _smooth(None, b.astype(pd), lvl, cfg, cfg.pre_smooth,
                     reverse=False)
-        if not _fused_leg(levels, cfg, idx):
+        if not _fused_leg(levels, cfg, idx, b.dtype):
             x = x.astype(b.dtype)
     else:
         x = _smooth(None, b, lvl, cfg, cfg.pre_smooth, reverse=False)
@@ -592,7 +633,7 @@ def _v_cycle_rest(levels: Sequence[_Level], coarse_pinv: Array,
         tr = "matmul" if jax.devices()[0].platform == "tpu" else "roll"
     if lvl.grid is not None or levels[idx + 1].grid is not None:
         tr = "roll"  # matmul transfers contract whole axes (would gather)
-    fused = tr == "matmul" and _use_pallas(lvl, cfg)
+    fused = tr == "matmul" and _use_pallas(lvl, cfg, b.dtype)
     if fused:
         # downward leg fused along x: the full-size residual and prolonged
         # correction never hit HBM (ops.stencil_pallas kernels); y/z
@@ -609,6 +650,15 @@ def _v_cycle_rest(levels: Sequence[_Level], coarse_pinv: Array,
         return _smooth(x, b, lvl, cfg, cfg.post_smooth, reverse=True,
                        dots=dots)
     r = _residual(x, b, lvl, cfg)
+    if _is_uneven(lvl):
+        # padded fine level -> replicated unpadded coarse level: gather the
+        # valid cells, restrict, correct, prolong, scatter back (pads zero)
+        from poissbox_tpu.parallel import uneven as _ue
+        rc = _pin(restrict(_ue.from_padded(r, lvl.grid)), levels[idx + 1])
+        ec = _coarse_correct(levels, coarse_pinv, cfg, rc, idx + 1)
+        x = x + _pin(_ue.to_padded(prolong(ec), lvl.grid), lvl)
+        return _smooth(x, b, lvl, cfg, cfg.post_smooth, reverse=True,
+                       dots=dots)
     down, up = (restrict_mm, prolong_mm) if tr == "matmul" else (restrict, prolong)
     rc = _pin(down(r), levels[idx + 1])
     ec = _coarse_correct(levels, coarse_pinv, cfg, rc, idx + 1)
@@ -687,10 +737,11 @@ def make_mg_preconditioner(
         lvl0 = levels[0]
         pd0 = jnp.dtype(cfg.pre_dtype) if cfg.pre_dtype else None
         pd_ok = (pd0 is None or pd0 == jnp.dtype(dtype)
-                 or (cfg.pre_smooth == 1 and _fused_leg(levels, cfg, 0)))
+                 or (cfg.pre_smooth == 1
+                     and _fused_leg(levels, cfg, 0, dtype)))
         if (cfg.smoother == "sor" and cfg.pre_smooth >= 1
                 and pd_ok and lvl0.grid is None
-                and _use_pallas(lvl0, cfg)):
+                and _use_pallas(lvl0, cfg, dtype)):
             # CG's residual update fused into the cycle's FIRST kernel:
             # apply_update_dots(r, Ap, alpha) applies the cycle to
             # b = r - alpha*Ap formed inside the zero-guess pre-smooth,

@@ -82,6 +82,10 @@ class TestOptionsLeft:
         out = capsys.readouterr().out
         assert "log_view:   setup" in out and "log_view:   solve" in out
         assert "iterations" in out
+        # round 5: PETSc-style per-event table (count, time/call, total, %)
+        assert "log_view:   MatMult" in out
+        assert "log_view:   PCApply" in out
+        assert "time/call" in out
 
     @pytest.mark.slow
     def test_demo_errors_on_typo(self):
