@@ -256,6 +256,17 @@ def bench_fft(n: int, dtype) -> dict:
     return {"fft_solve_ms": t * 1e3, "fft_rel_residual": rel}
 
 
+def bench_f64(n: int, rtol: float = 1e-10) -> dict:
+    """f64 MG-CG solve — the reference's precision of record (`pb_dp`,
+    reference src/constants.f90:15) on TPU via XLA's f64 emulation (the
+    Pallas kernels are dtype-gated to the XLA paths, constants.mosaic_ok).
+    Validates that the deep-tolerance solve converges on hardware; the
+    absolute time is emulation-bound, not a roofline metric."""
+    jax.config.update("jax_enable_x64", True)
+    out = bench_mgcg(n, jnp.float64, rtol)
+    return {("f64_" + k): v for k, v in out.items()}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=256)
@@ -291,6 +302,12 @@ def main() -> int:
     print(f"compact: {cp}", file=sys.stderr)
     ft = bench_fft(n, dtype)
     print(f"fft: {ft}", file=sys.stderr)
+    f64 = {}
+    if args.dtype == "float32":
+        # f64 row (the reference's pb_dp precision of record) at a fixed
+        # modest size — emulated on TPU, so kept out of the headline
+        f64 = bench_f64(64 if args.quick else 128)
+        print(f"f64: {f64}", file=sys.stderr)
 
     record = {
         "metric": f"stencil_gdofs_{n}",
@@ -300,7 +317,8 @@ def main() -> int:
         # *cold-pass* HBM-roofline fraction — conservative by construction
         "vs_baseline": round(st["stencil_roofline_frac_cold"], 4),
         **{k: (float(f"{v:.6g}") if isinstance(v, float) else v)
-           for k, v in {**st, **mg, **td, **cp, **ft, **info}.items()},
+           for k, v in {**st, **mg, **td, **cp, **ft, **f64,
+                        **info}.items()},
     }
     print(json.dumps(record))
     return 0
