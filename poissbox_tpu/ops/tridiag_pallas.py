@@ -674,9 +674,13 @@ class PallasTridiagFactor:
 
     @staticmethod
     def _pcr_eligible(a, b, c, periodic: bool) -> bool:
+        # any n >= 8: the truncated PCR schedule is n-agnostic (circulant
+        # elimination is exact operator algebra for any stride mod n; see
+        # compact_pcr.pcr_schedule) — non-power-of-two sizes like 640 take
+        # the same scan-free path instead of cliffing onto Thomas
         import numpy as np
         n = b.shape[0]
-        if (not periodic or n < 8 or n & (n - 1)
+        if (not periodic or n < 8
                 or jnp.dtype(b.dtype).itemsize > 4):
             return False
         an, bn, cn = (np.asarray(v) for v in (a, b, c))

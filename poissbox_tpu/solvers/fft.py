@@ -135,17 +135,71 @@ def _spectral_solve_packed_split(b: Array, inv_half: Array) -> Array:
     return _irfft_last(jnp.concatenate([body, nyq], -1), n).astype(b.dtype)
 
 
+def _spectral_solve_tangled(b: Array, deltas: tuple) -> Array:
+    """Packed-real spectral solve that never untangles in the spectral
+    domain: the y/x FFTs run directly on the TANGLED half-width spectrum
+    Z = FFT(u_even + i u_odd), and the untangle -> eigenvalue multiply ->
+    retangle collapses into ONE elementwise stage built from the
+    triple-flipped partner Zf = conj(Zhat[-kx, -ky, -kz]).
+
+    Derivation (z-axis aliasing algebra, applied pointwise in (kx, ky)
+    because the x/y transforms are linear and commute with the tangle):
+    with E = (Z + Zf)/2, P = W^k O = -i W^k (Z - Zf)/2, and the aliased
+    inverse-eigenvalue pair i1 = pinv(lam(kx,ky,kz)),
+    i2 = pinv(lam(kx,ky,kz + n/2)),
+
+        E' = s E + d P,   Q' = d E + s P,   Z' = E' + i conj(W) Q'
+
+    where s = (i1 + i2)/2, d = (i1 - i2)/2 — which collapses algebraically
+    (W = e^{-i theta}) to the two-coefficient form used below:
+
+        Z' = (s - d sin(theta)) Z + (i d cos(theta)) Zf.
+
+    Versus the split-spectrum form this removes the forward untangle, the
+    inverse retangle, and all Nyquist-plane special-casing (~4 full
+    elementwise passes + the odd n/2+1 layout) — and the y/x transforms
+    run on exactly n/2 lanes, which stays lane-aligned whenever n/2 is
+    (512^3 AND 640^3)."""
+    nx, ny, nz = b.shape
+    n2 = nz // 2
+    cplx = jnp.complex64 if b.dtype == jnp.float32 else jnp.complex128
+    Z = jax.lax.complex(b[..., 0::2], b[..., 1::2]).astype(cplx)
+    Z = jnp.fft.fft(Z, axis=-1)
+    Z = jnp.fft.fft(Z, axis=1)
+    Z = jnp.fft.fft(Z, axis=0)
+
+    # aliased inverse-eigenvalue pair (evaluated in-trace; see
+    # _inv_eigenvalues for why not a host table)
+    inv_full = _inv_eigenvalues((nx, ny, nz), deltas, b.dtype, rfft=False)
+    i1 = inv_full[..., :n2]
+    i2 = inv_full[..., n2:]
+    s = 0.5 * (i1 + i2)
+    d = 0.5 * (i1 - i2)
+    theta = (2.0 * np.pi / nz) * jnp.arange(n2, dtype=b.dtype)
+
+    # conj(Z[(-kx) % nx, (-ky) % ny, (-kz) % n2])
+    Zf = jnp.conj(jnp.roll(jnp.flip(Z, (0, 1, 2)), (1, 1, 1), (0, 1, 2)))
+    Zp = (s - d * jnp.sin(theta)) * Z + (1j * (d * jnp.cos(theta))) * Zf
+
+    Zp = jnp.fft.ifft(Zp, axis=0)
+    Zp = jnp.fft.ifft(Zp, axis=1)
+    zp = jnp.fft.ifft(Zp, axis=-1)
+    out = jnp.stack([jnp.real(zp), jnp.imag(zp)], axis=-1)
+    return out.reshape(b.shape).astype(b.dtype)
+
+
 def _poisson_solve_impl(b: Array, deltas: tuple) -> Array:
     shape = tuple(b.shape)
     on_cpu = jax.default_backend() == "cpu"
     use_half = on_cpu or shape[-1] % 2 == 0
-    inv = _inv_eigenvalues(shape, deltas, b.dtype, rfft=use_half)
     cplx = jnp.complex64 if b.dtype == jnp.float32 else jnp.complex128
     if on_cpu:
+        inv = _inv_eigenvalues(shape, deltas, b.dtype, rfft=use_half)
         xhat = jnp.fft.rfftn(b) * inv.astype(cplx)
         return jnp.fft.irfftn(xhat, s=shape).astype(b.dtype)
     if use_half:
-        return _spectral_solve_packed_split(b, inv)
+        return _spectral_solve_tangled(b, deltas)
+    inv = _inv_eigenvalues(shape, deltas, b.dtype, rfft=False)
     bhat = jnp.fft.fftn(b)
     xhat = bhat * inv.astype(bhat.dtype)
     return jnp.fft.ifftn(xhat).real.astype(b.dtype)

@@ -50,11 +50,42 @@ class TestPcrSolve:
             got = compact_pcr.pcr_op(f, compact_pcr.interp_spec(-1, n), axis)
             assert float(jnp.max(jnp.abs(want - got))) < 1e-12
 
-    def test_non_power_of_two_rejected(self):
+    def test_non_power_of_two_exact_rejected(self):
+        # the EXACT (rtol=0) ladder needs the final (i, i+n/2) pairing,
+        # which is power-of-two-only; truncated schedules are n-agnostic
         with pytest.raises(ValueError):
             compact_pcr.pcr_schedule(0.25, 48)
-        assert not compact_pcr.available((48, 64, 64), jnp.float32,
-                                         method="pcr")
+        assert compact_pcr.available((48, 64, 64), jnp.float32,
+                                     method="pcr")
+
+    def test_non_power_of_two_truncated_solves(self, rng):
+        """Round 5: the truncated schedule is n-agnostic (circulant
+        elimination is exact operator algebra for any stride mod n) —
+        the round-4 non-power-of-two cliff fix (640 = 5*2^7 runs the
+        same scan-free path as 512; VERDICT r4 weak #1)."""
+        for n in (10, 12, 20, 40, 48, 96, 160, 640):
+            for alpha in (9.0 / 62.0, 3.0 / 10.0):
+                A = np.zeros((n, n))
+                for i in range(n):
+                    A[i, i] = 1.0
+                    A[i, (i - 1) % n] = alpha
+                    A[i, (i + 1) % n] = alpha
+                x = rng.standard_normal((n, 3))
+                d = jnp.asarray(A @ x)
+                sched = compact_pcr.pcr_schedule(alpha, n, rtol=1e-15)
+                got = compact_pcr._vpcr(d, 0, sched, pallas=False)
+                assert np.max(np.abs(np.asarray(got) - x)) < 1e-11, n
+
+    def test_pcr_op_non_power_of_two_matches_thomas(self, rng):
+        n = 40
+        f = jnp.asarray(rng.uniform(-1.0, 1.0, (n, n, n)))
+        dx = 1.0 / n
+        rt = 1e-15
+        for axis in (0, 1, 2):
+            want = compact.grad_1d(f, dx, axis=axis, method="pscan")
+            got = compact_pcr.pcr_op(
+                f, compact_pcr.grad_spec(dx, -1, n, rt), axis)
+            assert float(jnp.max(jnp.abs(want - got))) < 1e-10
 
 
 class TestPcrKernels:
