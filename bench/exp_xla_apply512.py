@@ -6,9 +6,10 @@ XLA elementwise 620-660 GB/s).
 Variants:
   - pallas        : production sp.apply_laplacian_pallas
   - roll          : jnp.roll shifted-adds (ops/stencil.py apply path)
-  - pad-slice     : periodic jnp.pad once, 6 static slices + fused adds
-  - interior+fix  : non-periodic shifts on the interior via slicing, then
-                    patch the 6 wrap faces (wrap traffic is O(n^2))
+  - pad-slice    : periodic jnp.pad once, 6 static slices + fused adds
+  - concat-shift : wrap shifts materialized as concat(face, body) per axis
+  - interior+fix : in-place window adds on the interior (no wrap copies),
+                   then 6 O(n^2) face patches for the periodic wrap
 """
 from __future__ import annotations
 
@@ -20,10 +21,16 @@ import jax
 import jax.numpy as jnp
 
 
-def ktime(fn, v0, lo=5, hi=20, reps=3):
+def ktime(fn, v0, lo=5, hi=20, reps=3, scale=1.0):
+    # `scale` renormalizes the chained operator so f32 values stay finite
+    # (the raw stencil's spectral radius ~8n^2 overflows in ~6 chained
+    # applications; TPU throughput is inf-insensitive but the harness
+    # shouldn't rely on that)
+    s = jnp.float32(scale)
+
     def timed(iters):
         f = jax.jit(lambda v: jnp.sum(
-            jax.lax.fori_loop(0, iters, lambda _, w: fn(w), v)))
+            jax.lax.fori_loop(0, iters, lambda _, w: fn(w) * s, v)))
         float(f(v0))
         best = float("inf")
         for _ in range(reps):
@@ -72,12 +79,10 @@ def main() -> None:
         acc = acc + (p[1:-1, 1:-1, :-2] + p[1:-1, 1:-1, 2:]) * inv
         return acc
 
-    def shift_fix_apply(v):
-        # Non-periodic shifted reads (static slices, no copy of v), wrap
-        # faces patched by adding the opposite face plane afterwards.
-        zero_like = lambda shp: jnp.zeros(shp, v.dtype)
+    def concat_shift_apply(v):
+        # Wrap shifts materialized as concat(face, body) per axis — the
+        # full-volume concat lowering (NOT interior+fix; that is below).
         acc = diag * v
-        # x axis
         up = jnp.concatenate([v[1:], v[:1]], 0)          # v[i+1] with wrap
         dn = jnp.concatenate([v[-1:], v[:-1]], 0)
         acc = acc + (up + dn) * inv
@@ -89,14 +94,40 @@ def main() -> None:
         acc = acc + (up + dn) * inv
         return acc
 
-    rep("pallas (production)", ktime(lambda v: sp.apply_laplacian_pallas(v, d), u))
-    rep("roll", ktime(roll_apply, u))
-    rep("pad-slice", ktime(pad_apply, u))
-    rep("concat-shift", ktime(shift_fix_apply, u))
+    def interior_fix_apply(v):
+        # The true interior+fix lowering: windowed in-place adds with NO
+        # wrap copies of the volume; the periodic wrap is patched by 6
+        # O(n^2) face-plane adds.
+        acc = diag * v
+        for ax in range(3):
+            lo = tuple(slice(0, n - 1) if i == ax else slice(None)
+                       for i in range(3))
+            hi = tuple(slice(1, None) if i == ax else slice(None)
+                       for i in range(3))
+            first = tuple(slice(0, 1) if i == ax else slice(None)
+                          for i in range(3))
+            last = tuple(slice(n - 1, n) if i == ax else slice(None)
+                         for i in range(3))
+            acc = acc.at[lo].add(v[hi] * inv)      # up-neighbor, interior
+            acc = acc.at[hi].add(v[lo] * inv)      # down-neighbor, interior
+            acc = acc.at[last].add(v[first] * inv)  # wrap faces
+            acc = acc.at[first].add(v[last] * inv)
+        return acc
+
+    # renormalize chained applies so f32 values stay finite (ADVICE r4)
+    sc = 1.0 / (8.0 * n * n)
+    rep("pallas (production)",
+        ktime(lambda v: sp.apply_laplacian_pallas(v, d), u, scale=sc))
+    rep("roll", ktime(roll_apply, u, scale=sc))
+    rep("pad-slice", ktime(pad_apply, u, scale=sc))
+    rep("concat-shift", ktime(concat_shift_apply, u, scale=sc))
+    rep("interior+fix", ktime(interior_fix_apply, u, scale=sc))
 
     # cross-check numerics
     a = sp.apply_laplacian_pallas(u, d)
-    for tag, f in (("roll", roll_apply), ("pad", pad_apply), ("concat", shift_fix_apply)):
+    for tag, f in (("roll", roll_apply), ("pad", pad_apply),
+                   ("concat", concat_shift_apply),
+                   ("interior+fix", interior_fix_apply)):
         err = float(jnp.max(jnp.abs(f(u) - a)) / jnp.max(jnp.abs(a)))
         print(f"maxrel {tag}: {err:.2e}", file=sys.stderr, flush=True)
 
