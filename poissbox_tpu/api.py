@@ -92,9 +92,18 @@ class PoissonSolver:
         """Manufactured RHS b = A x."""
         return self.A(x)
 
+    def _prep(self, f: Optional[Array]) -> Optional[Array]:
+        """Accept logical-shape fields on uneven decompositions: scatter
+        into the padded layout (parallel.uneven) transparently."""
+        if (f is not None and self.grid.uneven
+                and tuple(f.shape) == tuple(self.grid.n)):
+            return self.grid.shard(f)
+        return f
+
     # -- solves ------------------------------------------------------------
     def solve(self, b: Array, x0: Optional[Array] = None) -> SolveResult:
         """Jitted options-driven solve (KSPSolve analogue)."""
+        b, x0 = self._prep(b), self._prep(x0)
         return self._solver_jit(b, x0) if x0 is not None else self._solver_jit(b)
 
     def solve_refined(self, b: Array, rtol: float = 1.0e-12,
@@ -106,6 +115,18 @@ class PoissonSolver:
         inner = jax.jit(lambda r: cg(self.A, r, M=M,
                                      rtol=1e-6, max_it=50))
         return refine(self.A, inner, b, rtol=rtol, max_outer=max_outer)
+
+    def solve_checkpointed(self, b: Array, path: str, *,
+                           rtol: float = 1.0e-6, max_it: int = 500,
+                           every: int = 25):
+        """Preemption-tolerant solve: in-loop snapshots every `every`
+        iterations; a killed run resumes from `path` with at most `every`
+        wasted iterations (checkpoint.solve_with_checkpoints)."""
+        from poissbox_tpu.checkpoint import solve_with_checkpoints
+        M = make_mg_preconditioner(self.grid.n, self.grid.deltas, MGConfig(),
+                                   dtype=self.dtype, grid=self.grid)
+        return solve_with_checkpoints(self.A, b, path, M=M, rtol=rtol,
+                                      max_it=max_it, every=every)
 
     def residual_norm(self, x: Array, b: Array) -> float:
         """True relative residual ||A x - b|| / ||b|| (the demo's final
