@@ -34,15 +34,24 @@ RED = ((0, 0, 0), (0, 1, 1), (1, 0, 1), (1, 1, 0))
 BLACK = ((1, 0, 0), (0, 1, 0), (0, 0, 1), (1, 1, 1))
 
 
-def ktime(fn, v0, lo=3, hi=9, reps=3):
+def ktime(fn, v0, *consts, lo=3, hi=9, reps=3):
+    """Differenced chained timing; `consts` are passed as real jit
+    arguments (closure-captured 512^3 arrays would be embedded as program
+    constants and blow the remote-compile payload limit). The result is
+    reduced to a scalar and pulled to the HOST: on the tunneled backend
+    `block_until_ready` does not synchronize — only host transfers do."""
     def timed(iters):
-        f = jax.jit(lambda v: jax.lax.fori_loop(
-            0, iters, lambda _, w: fn(w), v))
-        jax.block_until_ready(f(v0))
+        def run(v, *cs):
+            out = jax.lax.fori_loop(0, iters,
+                                    lambda _, w: fn(w, *cs), v)
+            return sum(jnp.sum(leaf) for leaf in jax.tree.leaves(out))
+
+        f = jax.jit(run)
+        float(f(v0, *consts))
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(f(v0))
+            float(f(v0, *consts))
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -105,18 +114,19 @@ def main() -> None:
         print(f"{tag:22s} {t*1e3:8.3f} ms {note}", file=sys.stderr, flush=True)
 
     # 1. production masked Pallas sweep (1 sweep = 2 half-steps)
-    t = ktime(lambda v: sp.sor_rb_multisweep_pallas(v, b, d, 1.0, 1), u)
+    t = ktime(lambda v, bb: sp.sor_rb_multisweep_pallas(v, bb, d, 1.0, 1),
+              u, b)
     rep("masked-pallas sweep", t, f"({t/2*1e3:.3f} ms/half-step)")
 
     # 2. octant-packed sweep in XLA
     oct_u = octant_split(u)
     oct_b = {p: jax.device_put(v) for p, v in octant_split(b).items()}
 
-    def packed_sweep(oct):
-        oct = half_step(oct, oct_b, RED, invs, winv)
-        return half_step(oct, oct_b, BLACK, invs, winv)
+    def packed_sweep(oct, rhs):
+        oct = half_step(oct, rhs, RED, invs, winv)
+        return half_step(oct, rhs, BLACK, invs, winv)
 
-    t = ktime(packed_sweep, oct_u)
+    t = ktime(packed_sweep, oct_u, oct_b)
     rep("octant-xla sweep", t, f"({t/2*1e3:.3f} ms/half-step)")
 
     # 3. conversion cost (round trip)
