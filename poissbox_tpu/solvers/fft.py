@@ -341,6 +341,16 @@ def poisson_solve_fft_dist(b: Array, grid) -> Array:
     spectrum divides the z-sharding; complex pencils otherwise."""
     if grid.mesh is None or grid.mesh.size == 1:
         return poisson_solve_fft(b, grid.deltas)
+    if getattr(grid, "uneven", False):
+        # non-divisible decomposition: pencil transposes need divisible
+        # shards, so gather the valid cells, solve replicated, scatter
+        # back into the padded layout (capability fallback; the Krylov
+        # paths remain the distributed-efficient option on uneven grids)
+        from poissbox_tpu.parallel.uneven import from_padded, to_padded
+        x = _poisson_solve_jit(from_padded(b, grid),
+                               tuple(float(d) for d in grid.deltas))
+        return jax.lax.with_sharding_constraint(to_padded(x, grid),
+                                                grid.sharding)
     if _packed_dist_ok(b, grid):
         inv = _inv_eigenvalues(tuple(b.shape),
                                tuple(float(d) for d in grid.deltas),
@@ -359,6 +369,12 @@ def compact_poisson_solve_fft_dist(b: Array, grid) -> Array:
     its half layout is a slice)."""
     if grid.mesh is None or grid.mesh.size == 1:
         return compact_poisson_solve_fft(b, grid.deltas)
+    if getattr(grid, "uneven", False):
+        # see poisson_solve_fft_dist: gather-solve-scatter fallback
+        from poissbox_tpu.parallel.uneven import from_padded, to_padded
+        x = compact_poisson_solve_fft(from_padded(b, grid), grid.deltas)
+        return jax.lax.with_sharding_constraint(to_padded(x, grid),
+                                                grid.sharding)
     inv = compact_inv_eigenvalues(tuple(b.shape),
                                   tuple(float(d) for d in grid.deltas),
                                   b.dtype)

@@ -197,6 +197,25 @@ def test_plain_cg_uneven():
     assert rel <= 1.1e-8
 
 
+def test_fft_direct_solve_uneven():
+    """`-ksp_type fft` on a non-divisible mesh: gather-solve-scatter
+    fallback (pencil transposes need divisible shards) — exact result,
+    padded layout preserved."""
+    grid = make_grid((32, 32, 32), (3, 1, 1))
+    from poissbox_tpu.solvers.fft import poisson_solve_fft, poisson_solve_fft_dist
+    u = rand_field(grid, seed=8)
+    u = u - jnp.mean(u)
+    A = make_laplacian_operator(grid)
+    b = A(grid.shard(u))
+    x = jax.jit(lambda bb: poisson_solve_fft_dist(bb, grid))(b)
+    assert tuple(x.shape) == grid.padded_n
+    want = poisson_solve_fft(apply_laplacian(u, grid.deltas), grid.deltas)
+    np.testing.assert_allclose(np.asarray(grid.unshard(x)),
+                               np.asarray(want), atol=1e-10)
+    m = ue.valid_mask(grid, x.dtype)
+    assert float(jnp.max(jnp.abs(x * (1 - m)))) == 0.0
+
+
 def test_pipecg_uneven():
     grid = make_grid((64, 64, 64), (3, 1, 1))
     from poissbox_tpu.solvers.pipecg import pipecg
