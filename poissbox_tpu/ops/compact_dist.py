@@ -27,6 +27,29 @@ from poissbox_tpu.parallel.pencil import from_pencil, pencil_spec, to_pencil
 Array = jax.Array
 
 
+def _uneven_fallback(fn_serial, f: Array, grid, vector_out: bool = False):
+    """Non-divisible decomposition fallback: the pencil transposes need
+    divisible shards, so gather the valid cells (parallel.uneven padded
+    layout), apply the serial operator replicated, scatter back. The
+    Krylov/MG paths stay distributed on uneven grids; the compact stack
+    trades efficiency for capability there (the reference's compact stack
+    is serial-only anyway, SURVEY.md §1)."""
+    from poissbox_tpu.parallel.uneven import from_padded, to_padded
+
+    if f.ndim == 4:  # vector field: gather per component
+        fin = jnp.stack([from_padded(f[..., i], grid) for i in range(3)], -1)
+    else:
+        fin = from_padded(f, grid)
+    out = fn_serial(fin)
+    if vector_out:
+        return jnp.stack([
+            jax.lax.with_sharding_constraint(to_padded(out[..., i], grid),
+                                             grid.sharding)
+            for i in range(out.shape[-1])], axis=-1)
+    return jax.lax.with_sharding_constraint(to_padded(out, grid),
+                                            grid.sharding)
+
+
 def _local_1d(fn, grid, local_dim: int):
     """Run a line operator on each device's pencil block via shard_map.
 
@@ -45,6 +68,9 @@ def _local_1d(fn, grid, local_dim: int):
 def grad(f: Array, grid) -> Array:
     """Distributed staggered gradient tensor (nx, ny, nz, 3) of a
     cell-centered sharded field."""
+    if getattr(grid, "uneven", False):
+        return _uneven_fallback(
+            lambda v: compact.grad(v, grid.deltas), f, grid, vector_out=True)
     dx, dy, dz = grid.deltas
     # Z sweep (Z-pencils)
     fz = to_pencil(f, grid, 2, from_dim=None)
@@ -67,6 +93,9 @@ def grad(f: Array, grid) -> Array:
 
 def div(F: Array, grid) -> Array:
     """Distributed divergence of a vertex-located (nx, ny, nz, 3) field."""
+    if getattr(grid, "uneven", False):
+        return _uneven_fallback(
+            lambda v: compact.div(v, grid.deltas), F, grid)
     dx, dy, dz = grid.deltas
     # X sweep (X-pencils)
     dvx = _local_1d(lambda v: compact.div_1d(v, dx, axis=0), grid, 0)
@@ -91,12 +120,18 @@ def div(F: Array, grid) -> Array:
 def lapl(f: Array, grid) -> Array:
     """Distributed 6th-order compact Laplacian div(grad(f))
     (reference src/compact_schemes.f90:17-37)."""
+    if getattr(grid, "uneven", False):
+        return _uneven_fallback(
+            lambda v: compact.lapl(v, grid.deltas), f, grid)
     return div(grad(f, grid), grid)
 
 
 def interp(f: Array, grid, stagger: int = -1) -> Array:
     """Distributed tri-directional interpolation, Z->Y->X (reference
     src/compact_schemes.f90:93-142)."""
+    if getattr(grid, "uneven", False):
+        return _uneven_fallback(
+            lambda v: compact.interp(v, stagger=stagger), f, grid)
     out = f
     prev: int | None = None
     for d in (2, 1, 0):

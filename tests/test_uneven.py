@@ -216,6 +216,29 @@ def test_fft_direct_solve_uneven():
     assert float(jnp.max(jnp.abs(x * (1 - m)))) == 0.0
 
 
+def test_compact_dist_uneven_fallback():
+    """compact_dist operators on a non-divisible mesh: gather-solve-scatter
+    (pencil transposes need divisible shards) — results equal the serial
+    operators, padded layout preserved."""
+    from poissbox_tpu.ops import compact, compact_dist
+    grid = make_grid((24, 24, 24), (3, 1, 1))
+    f = rand_field(grid, seed=9)
+    fp = grid.shard(f)
+    lap = jax.jit(lambda v: compact_dist.lapl(v, grid))(fp)
+    np.testing.assert_allclose(np.asarray(grid.unshard(lap)),
+                               np.asarray(compact.lapl(f, grid.deltas)),
+                               atol=1e-10)
+    g = jax.jit(lambda v: compact_dist.grad(v, grid))(fp)
+    want = compact.grad(f, grid.deltas)
+    for i in range(3):
+        np.testing.assert_allclose(np.asarray(grid.unshard(g[..., i])),
+                                   np.asarray(want[..., i]), atol=1e-10)
+    dv = jax.jit(lambda v: compact_dist.div(v, grid))(g)
+    np.testing.assert_allclose(np.asarray(grid.unshard(dv)),
+                               np.asarray(compact.div(want, grid.deltas)),
+                               atol=1e-10)
+
+
 def test_pipecg_uneven():
     grid = make_grid((64, 64, 64), (3, 1, 1))
     from poissbox_tpu.solvers.pipecg import pipecg
