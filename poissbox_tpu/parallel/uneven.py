@@ -36,7 +36,6 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 
 
@@ -86,54 +85,52 @@ def is_uneven(n: Sequence[int], pgrid: Sequence[int]) -> bool:
     return any(nd % p for nd, p in zip(n, pgrid))
 
 
-@functools.lru_cache(maxsize=None)
-def _global_index_np(n: int, p: int) -> np.ndarray:
-    """Padded-position -> global-index map for one axis (-1 at pad cells)."""
-    L, counts, starts, _, _ = axis_plan(n, p)
-    idx = np.full(p * L, -1, dtype=np.int64)
-    g = 0
-    for i in range(p):
-        idx[starts[i]:starts[i] + counts[i]] = np.arange(g, g + counts[i])
-        g += counts[i]
-    return idx
-
-
-@functools.lru_cache(maxsize=None)
-def _mask_np(n: tuple, pgrid: tuple) -> np.ndarray:
-    """Valid-cell 0/1 mask of the padded shape (float64 numpy)."""
-    axes = [_global_index_np(nd, p) >= 0 for nd, p in zip(n, pgrid)]
-    m = np.ones([len(a) for a in axes])
-    for d, a in enumerate(axes):
-        sh = [1, 1, 1]
-        sh[d] = -1
-        m = m * a.astype(np.float64).reshape(sh)
-    return m
-
-
-@functools.lru_cache(maxsize=None)
-def _color_mask_np(n: tuple, pgrid: tuple, color: int) -> np.ndarray:
-    """Red-black parity mask from *global* indices, times the valid mask.
-
-    Parity is a property of the logical grid, not the padded layout; pad
-    cells are always 0 regardless of color.
-    """
-    gs = [np.maximum(_global_index_np(nd, p), 0)
-          for nd, p in zip(n, pgrid)]
-    par = (gs[0].reshape(-1, 1, 1) + gs[1].reshape(1, -1, 1)
-           + gs[2].reshape(1, 1, -1)) % 2
-    return (par == color).astype(np.float64) * _mask_np(n, pgrid)
+def _axis_valid_and_gidx(nd: int, p: int):
+    """(valid_1d bool, global_index_1d int32) for one axis, computed with
+    jnp from iotas — NOT a baked host table: an O(n^3) literal would ship
+    with every compiled program (1.7 GB at 768^3-class uneven grids and a
+    remote-compile payload blowout); the iota form costs XLA a negligible
+    folded computation instead."""
+    L, counts, starts, _, _ = axis_plan(nd, p)
+    base, rem = divmod(nd, p)
+    q = jnp.arange(p * L, dtype=jnp.int32)
+    dev = q // L
+    j = q - dev * L
+    valid = j < (base + (dev < rem).astype(jnp.int32))
+    gidx = dev * base + jnp.minimum(dev, rem) + j
+    return valid, gidx
 
 
 def valid_mask(grid, dtype) -> jax.Array:
-    """Sharded 0/1 mask of the padded shape marking valid (owned) cells."""
-    m = jnp.asarray(_mask_np(tuple(grid.n), grid_pgrid(grid)), dtype)
+    """0/1 mask of the padded shape marking valid (owned) cells."""
+    pg = grid_pgrid(grid)
+    m = None
+    for d, (nd, p) in enumerate(zip(grid.n, pg)):
+        v, _ = _axis_valid_and_gidx(nd, p)
+        sh = [1, 1, 1]
+        sh[d] = -1
+        vd = v.astype(dtype).reshape(sh)
+        m = vd if m is None else m * vd
     return m
 
 
 def color_mask(grid, color: int, dtype) -> jax.Array:
-    m = jnp.asarray(
-        _color_mask_np(tuple(grid.n), grid_pgrid(grid), int(color)), dtype)
-    return m
+    """Red-black parity mask from *global* indices, times the valid mask.
+
+    Parity is a property of the logical grid, not the padded layout; pad
+    cells are always 0 regardless of color."""
+    pg = grid_pgrid(grid)
+    par = None
+    valid = None
+    for d, (nd, p) in enumerate(zip(grid.n, pg)):
+        v, g = _axis_valid_and_gidx(nd, p)
+        sh = [1, 1, 1]
+        sh[d] = -1
+        gd = g.reshape(sh)
+        vd = v.astype(dtype).reshape(sh)
+        par = gd if par is None else par + gd
+        valid = vd if valid is None else valid * vd
+    return ((par % 2) == color).astype(dtype) * valid
 
 
 # ---------------------------------------------------------------------------
