@@ -160,6 +160,15 @@ def _spectral_solve_tangled(b: Array, deltas: tuple) -> Array:
     elementwise passes + the odd n/2+1 layout) — and the y/x transforms
     run on exactly n/2 lanes, which stays lane-aligned whenever n/2 is
     (512^3 AND 640^3)."""
+    inv_full = _inv_eigenvalues(tuple(b.shape), deltas, b.dtype, rfft=False)
+    return _tangled_solve_core(b, inv_full)
+
+
+def _tangled_solve_core(b: Array, inv_full: Array) -> Array:
+    """Tangled-spectrum solve against a supplied REAL symmetric full-layout
+    inverse-eigenvalue array (see _spectral_solve_tangled; also used by the
+    compact 6th-order direct solve, whose staggered D*G / I*I' symbol is
+    real — the half-shift phases cancel in each product)."""
     nx, ny, nz = b.shape
     n2 = nz // 2
     cplx = jnp.complex64 if b.dtype == jnp.float32 else jnp.complex128
@@ -170,7 +179,6 @@ def _spectral_solve_tangled(b: Array, deltas: tuple) -> Array:
 
     # aliased inverse-eigenvalue pair (evaluated in-trace; see
     # _inv_eigenvalues for why not a host table)
-    inv_full = _inv_eigenvalues((nx, ny, nz), deltas, b.dtype, rfft=False)
     i1 = inv_full[..., :n2]
     i2 = inv_full[..., n2:]
     s = 0.5 * (i1 + i2)
@@ -495,11 +503,10 @@ import functools
 def _compact_solve_jit(b, deltas):
     inv = compact_inv_eigenvalues(tuple(b.shape), deltas, b.dtype)
     if jax.default_backend() == "tpu" and b.shape[-1] % 2 == 0:
-        # packed-real transforms (see _spectral_solve_packed_split); the
-        # compact symbol is Hermitian (real spatial operator), so the
-        # half-spectrum eigenvalues are a slice of the full layout
-        return _spectral_solve_packed_split(
-            b, inv[..., : b.shape[-1] // 2 + 1])
+        # tangled-spectrum packed-real solve (see _spectral_solve_tangled);
+        # the compact symbol is REAL (the staggered half-shift phases
+        # cancel in each D*G and I*I' product), so the shared core applies
+        return _tangled_solve_core(b, jnp.real(inv))
     xhat = jnp.fft.fftn(b) * inv
     return jnp.fft.ifftn(xhat).real.astype(b.dtype)
 
