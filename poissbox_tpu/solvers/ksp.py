@@ -220,24 +220,40 @@ def _print_log_view(A: LinearOperator, b: Array, M, result,
     (count, time/call, total, fraction), adapted to the jit model.
 
     Inside one fused jitted loop the events cannot be instrumented
-    individually, so each event's time/call is MEASURED standalone (warm,
-    median of 3) and multiplied by its count — the same accounting the
-    per-stage ledgers use (docs/LEDGER_512.md, 99.7% attribution at
-    512^3). The residual vs the solve wall is the fusion/overlap gain or
-    loop overhead. The solve wall includes compile on a first call.
+    individually, so each event's time/call is MEASURED standalone and
+    multiplied by its count — the same accounting the per-stage ledgers
+    use (docs/LEDGER_512.md, 99.7% attribution at 512^3). Per-event
+    timing is DIFFERENCED over two chained loop lengths with a
+    host-forced scalar: a single timed call would be dominated by
+    dispatch/tunnel latency (tens of ms on remoted backends, more than a
+    small matvec itself), and `block_until_ready` alone does not
+    synchronize there. The residual vs the solve wall is the
+    fusion/overlap gain or loop overhead.
     """
     import time as _time
 
-    def _warm_time(fn, *args):
-        try:
-            jfn = jax.jit(fn)
-            jax.block_until_ready(jfn(*args))  # compile
+    import jax.numpy as _jnp
+    from jax import lax as _lax
+
+    def _warm_time(fn, x):
+        # decay factor keeps chained f64/f32 values finite (the raw
+        # operator's spectral radius ~8n^2 overflows within a few steps)
+        s = _jnp.asarray(1e-3, x.dtype)
+
+        def timed(iters):
+            f = jax.jit(lambda v: _jnp.sum(_lax.fori_loop(
+                0, iters, lambda _, w: fn(w) * s, v)))
+            float(f(x))
             ts = []
             for _ in range(3):
                 t0 = _time.perf_counter()
-                jax.block_until_ready(jfn(*args))
+                float(f(x))
                 ts.append(_time.perf_counter() - t0)
-            return sorted(ts)[1]
+            return min(ts)
+
+        try:
+            t_lo, t_hi = timed(2), timed(8)
+            return max((t_hi - t_lo) / 6, 1e-9)
         except Exception:
             return None
 
@@ -315,10 +331,12 @@ def solve(
     if log_view:
         # re-run once so the reported solve wall is WARM (the first call
         # above paid the compile); monitors already streamed, and the
-        # solve is deterministic, so the result is identical
+        # solve is deterministic, so the result is identical. The scalar
+        # host transfer forces real synchronization (block_until_ready
+        # does not on remoted backends).
         t0 = _time.perf_counter()
         result2 = jsolver(b) if x0 is None else jsolver(b, x0)
-        jax.block_until_ready(result2.x)
+        float(result2.residual_norm)
         t_solve = _time.perf_counter() - t0
         _print_log_view(A, b, getattr(solver, "M", None), result,
                         t_setup, t_solve)
