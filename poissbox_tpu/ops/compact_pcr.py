@@ -335,19 +335,28 @@ def _x_call(chains, inputs):
 # public operators
 # ---------------------------------------------------------------------------
 
+def _tile_ok(n: int) -> bool:
+    """Mosaic-safe extent for the kernels' rolled (sublane, lane) dims:
+    a power of two >= 8 or a multiple of 128. The PCR schedule itself is
+    n-agnostic (pcr_schedule), but `pltpu.roll`/rotate lowering on
+    lane-unaligned extents (e.g. 40, 96) HANGS the Mosaic compile
+    (observed on v5e, round 5) — such sizes fall back to the Thomas
+    stack, exactly the pre-round-5 behavior. 384 = 3*128 and
+    640 = 5*128 pass, which is what the non-power-of-two cliff fix
+    needed."""
+    return n >= 8 and (n % 128 == 0 or (n & (n - 1)) == 0)
+
+
 def available(shape, dtype, method: str = "auto") -> bool:
     """PCR path applies: TPU backend, 32-bit-or-less dtype (f64 falls back
-    to the Thomas stack). Any extents >= 8: the truncated schedule is
-    n-agnostic (see pcr_schedule) — the kernels tile (sublane, lane)
-    blocks, which the callers' tile pickers already handle for
-    non-power-of-two sizes."""
+    to the Thomas stack), tile-safe extents (see _tile_ok)."""
     if method not in ("auto", "pcr"):
         return False
     if method != "pcr" and jax.default_backend() != "tpu":
         return False
     if jnp.dtype(dtype).itemsize > 4:
         return False
-    return all(n >= 8 for n in shape)
+    return all(_tile_ok(n) for n in shape)
 
 
 @functools.partial(jax.jit, static_argnames=("deltas",))
@@ -433,16 +442,18 @@ def lapl(f: Array, deltas) -> Array:
 
 
 def available_1d(shape, axis: int, dtype) -> bool:
-    """Axis-native single-operator kernel applies: TPU, solve axis >= 8
-    (any n — the truncated schedule is n-agnostic), 32-bit-or-less dtype,
-    tileable batch dims."""
+    """Axis-native single-operator kernel applies: TPU, tile-safe solve
+    axis (see _tile_ok — the schedule is n-agnostic but the rolled dims
+    must be Mosaic-safe), 32-bit-or-less dtype, tileable batch dims."""
     if jax.default_backend() != "tpu" or jnp.dtype(dtype).itemsize > 4:
         return False
     if len(shape) != 3:
         return False
     n = shape[axis % 3]
-    if n < 8:
+    if not _tile_ok(n):
         return False
+    if axis % 3 in (1, 2) and not _tile_ok(shape[2]):
+        return False  # yz kernels hold full (ny, nz) planes; lane dim rolls
     if axis % 3 == 0:
         # x kernels tile (ny, nz); need hardware-tile divisibility
         # ((16, 128) for sub-32-bit dtypes, (8, 128) for 32-bit)

@@ -674,13 +674,17 @@ class PallasTridiagFactor:
 
     @staticmethod
     def _pcr_eligible(a, b, c, periodic: bool) -> bool:
-        # any n >= 8: the truncated PCR schedule is n-agnostic (circulant
-        # elimination is exact operator algebra for any stride mod n; see
-        # compact_pcr.pcr_schedule) — non-power-of-two sizes like 640 take
-        # the same scan-free path instead of cliffing onto Thomas
+        # tile-safe n (power of two or multiple of 128): the truncated PCR
+        # schedule is n-agnostic (circulant elimination is exact operator
+        # algebra for any stride mod n; see compact_pcr.pcr_schedule), so
+        # sizes like 640 = 5*128 take the same scan-free path instead of
+        # cliffing onto Thomas — but Mosaic's roll lowering hangs compiles
+        # at unaligned extents (compact_pcr._tile_ok), which fall back.
         import numpy as np
+
+        from poissbox_tpu.ops.compact_pcr import _tile_ok
         n = b.shape[0]
-        if (not periodic or n < 8
+        if (not periodic or not _tile_ok(n)
                 or jnp.dtype(b.dtype).itemsize > 4):
             return False
         an, bn, cn = (np.asarray(v) for v in (a, b, c))

@@ -55,8 +55,15 @@ class TestPcrSolve:
         # which is power-of-two-only; truncated schedules are n-agnostic
         with pytest.raises(ValueError):
             compact_pcr.pcr_schedule(0.25, 48)
-        assert compact_pcr.available((48, 64, 64), jnp.float32,
+        # tile-safe non-powers-of-two (multiples of 128) take the kernels;
+        # lane-unaligned sizes (48, 96) fall back — Mosaic's roll lowering
+        # hangs compiles there (observed on v5e, round 5)
+        assert compact_pcr.available((384, 640, 128), jnp.float32,
                                      method="pcr")
+        assert not compact_pcr.available((48, 64, 64), jnp.float32,
+                                         method="pcr")
+        assert not compact_pcr.available((96, 96, 96), jnp.float32,
+                                         method="pcr")
 
     def test_non_power_of_two_truncated_solves(self, rng):
         """Round 5: the truncated schedule is n-agnostic (circulant
